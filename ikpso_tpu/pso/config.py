@@ -1,0 +1,47 @@
+"""PSO hyperparameters.
+
+Reference schema: ``PSOConfig{inertia, local, global, iterations}``
+(reference Particle.h:70-85). Defaults here are the values the
+reference actually runs with (Main.cpp:130: 0.5/0.5/1.25/15), not the
+struct defaults (0.2/0.5/0.7/10) — SURVEY.md §2.4.7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PSOConfig:
+    """Swarm-update hyperparameters.
+
+    Attributes:
+      inertia / cognitive / social: velocity-update coefficients
+        (the reference's ``_inertia`` / ``_local`` / ``_global``).
+      iterations: PSO iterations per solve (static: sets the
+        ``lax.scan`` length).
+      inertia_mode: ``"randomized"`` multiplies the inertia term by a
+        fresh U(0,1) draw — the reference's nonstandard update
+        (reference kernel.cu:164, SURVEY.md §2.4.2) and the behavior
+        its published convergence numbers were measured with, so it is
+        the default. ``"canonical"`` is textbook PSO (inertia * v).
+      init_velocity_scale: half-width of the uniform initial-velocity
+        distribution; the reference draws U(-1, 1)
+        (kernel.cu:261: ``curand_uniform * 2 - 1``).
+    """
+
+    inertia: float = 0.5
+    cognitive: float = 0.5
+    social: float = 1.25
+    iterations: int = dataclasses.field(default=15, metadata=dict(static=True))
+    inertia_mode: str = dataclasses.field(
+        default="randomized", metadata=dict(static=True)
+    )
+    init_velocity_scale: float = 1.0
+
+    def __post_init__(self):
+        if self.inertia_mode not in ("randomized", "canonical"):
+            raise ValueError(f"unknown inertia_mode: {self.inertia_mode!r}")
