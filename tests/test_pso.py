@@ -1,0 +1,160 @@
+"""PSO solver: determinism, convergence, and algorithm semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ikpso_tpu.models import library
+from ikpso_tpu.ops import fk as fk_ops
+from ikpso_tpu.ops.fitness import FitnessConfig
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.solver import make_solver, solve, solve_single
+
+
+def _single(problem):
+    return jax.tree.map(lambda x: x[None], problem)
+
+
+def test_planar_3dof_converges():
+    # BASELINE config 1: 3-DOF planar, 256 particles, 100 iterations.
+    spec, problem = library.planar_3dof(target=(1.5, 1.5, 0.0))
+    pso = PSOConfig(iterations=100)
+    fit = FitnessConfig(angle_weight=0.0)  # pure reaching
+    res = solve_single(
+        spec, problem, jax.random.key(0), pso=pso, fit=fit, num_particles=256
+    )
+    assert float(res.effector_error) < 1e-2
+
+
+def test_warm_start_init_semantics():
+    # All particles start at the anchor; with zero iterations the
+    # result IS the anchor pose (reference initParticlesKernel).
+    spec, problem = library.reference_arm()
+    pso = PSOConfig(iterations=0)
+    res = solve_single(spec, problem, jax.random.key(1), pso=pso, num_particles=32)
+    anchor = np.asarray(fk_ops.pose_to_angles(spec, problem.pose))
+    np.testing.assert_allclose(np.asarray(res.angles), anchor, atol=1e-6)
+
+
+def test_determinism_same_key():
+    spec, problem = library.planar_3dof()
+    r1 = solve_single(spec, problem, jax.random.key(7), num_particles=64)
+    r2 = solve_single(spec, problem, jax.random.key(7), num_particles=64)
+    np.testing.assert_array_equal(np.asarray(r1.angles), np.asarray(r2.angles))
+    np.testing.assert_array_equal(np.asarray(r1.trace), np.asarray(r2.trace))
+
+
+def test_different_keys_differ():
+    spec, problem = library.planar_3dof()
+    r1 = solve_single(spec, problem, jax.random.key(1), num_particles=64)
+    r2 = solve_single(spec, problem, jax.random.key(2), num_particles=64)
+    assert not np.array_equal(np.asarray(r1.angles), np.asarray(r2.angles))
+
+
+def test_gbest_trace_monotone_nonincreasing():
+    spec, problem = library.reference_arm()
+    res = solve_single(spec, problem, jax.random.key(3), num_particles=128)
+    trace = np.asarray(res.trace)  # solve_single strips the swarm axis
+    assert np.all(np.diff(trace) <= 1e-7)
+
+
+def test_joint_limits_respected():
+    spec, problem = library.reference_arm()  # limits [0, 2pi]
+    res = solve_single(spec, problem, jax.random.key(4), num_particles=128)
+    a = np.asarray(res.angles)
+    assert np.all(a >= -1e-6)
+    assert np.all(a <= 2 * np.pi + 1e-6)
+
+
+def test_locked_axes_stay_zero():
+    # planar_3dof locks X and Y axes via degenerate [0, 0] limits.
+    spec, problem = library.planar_3dof()
+    res = solve_single(spec, problem, jax.random.key(5), num_particles=64)
+    a = np.asarray(res.angles).reshape(-1, 3)
+    np.testing.assert_allclose(a[:, 0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(a[:, 1], 0.0, atol=1e-7)
+
+
+def test_batched_swarms_shapes():
+    spec, problem = library.reference_arm()
+    targets = jnp.broadcast_to(problem.targets, (5, 3, 3))
+    batched = library.batched_problem(problem, targets)
+    pso = PSOConfig(iterations=3)
+    res = solve(spec, batched, jax.random.key(0), pso=pso, num_particles=64)
+    assert res.angles.shape == (5, spec.dof)
+    assert res.fitness.shape == (5,)
+    assert res.pose.shape == (5, 8, 3)
+    assert res.effector_error.shape == (5,)
+    assert res.trace.shape == (4, 5)
+
+
+def test_batched_swarm_independence():
+    # Different targets per swarm must give different solutions.
+    spec, problem = library.planar_3dof()
+    targets = jnp.asarray([[[1.5, 1.5, 0.0]], [[2.0, -0.5, 0.0]]], jnp.float32)
+    batched = library.batched_problem(problem, targets)
+    fit = FitnessConfig(angle_weight=0.0)
+    res = solve(
+        spec, batched, jax.random.key(0),
+        pso=PSOConfig(iterations=60), fit=fit, num_particles=256,
+    )
+    assert float(res.effector_error[0]) < 5e-2
+    assert float(res.effector_error[1]) < 5e-2
+    assert not np.allclose(np.asarray(res.angles[0]), np.asarray(res.angles[1]))
+
+
+def test_canonical_vs_randomized_inertia_modes():
+    spec, problem = library.planar_3dof()
+    for mode in ("canonical", "randomized"):
+        res = solve_single(
+            spec,
+            problem,
+            jax.random.key(0),
+            pso=PSOConfig(iterations=30, inertia_mode=mode),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=128,
+        )
+        assert float(res.effector_error) < 0.2, mode
+
+
+def test_make_solver_jits_and_caches():
+    spec, problem = library.planar_3dof()
+    solver = make_solver(spec, pso=PSOConfig(iterations=5), num_particles=64)
+    batched = _single(problem)
+    r1 = solver(batched, jax.random.key(0))
+    r2 = solver(batched, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(r1.angles), np.asarray(r2.angles))
+
+
+def test_orientation_target_solving():
+    # 6-DOF arm with orientation cost: final orientation should be
+    # closer to the target than without the cost.
+    spec, problem = library.arm_6dof(target=(1.0, 0.8, 0.3), target_rot=(0.0, 0.0, 0.8))
+    from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
+
+    def orient_err(res):
+        _, rots = fk_ops.fk(spec, res.pose, problem.origin)
+        eff_rot = rots[..., spec.effector_idx[0], :, :]
+        tgt = euler_xyz_to_matrix(problem.target_rot[0])
+        return float(jnp.sum((eff_rot - tgt) ** 2))
+
+    common = dict(num_particles=512, key=jax.random.key(0))
+    with_rot = solve_single(
+        spec, problem,
+        pso=PSOConfig(iterations=80),
+        fit=FitnessConfig(angle_weight=0.0, orientation_weight=1.0),
+        **common,
+    )
+    without_rot = solve_single(
+        spec, problem.replace(target_rot=None),
+        pso=PSOConfig(iterations=80),
+        fit=FitnessConfig(angle_weight=0.0),
+        **common,
+    )
+    assert orient_err(with_rot) < orient_err(without_rot)
+
+
+def test_invalid_inertia_mode_raises():
+    with pytest.raises(ValueError):
+        PSOConfig(inertia_mode="bogus")
