@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched 7-DOF IK solves/s/chip to <1mm.
+
+BASELINE.json north star: >=10k simultaneous 7-DOF IK solves to <1mm
+end-effector error in <10ms per PSO run on a v5p-16 (8 chips)
+== 125,000 solves/s/chip. ``vs_baseline`` is measured solves/s/chip
+divided by that target.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Protocol: S reachable targets are sampled by FK of random in-limit
+joint angles (guaranteed solvable); one batched PSO solve (warm start
+from the canonical pose) must bring the p50 true Euclidean effector
+error under 1mm. Wall time is best-of-N of the donated, jitted solve;
+solves/s = S / wall.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
+
+
+def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
+                          impl, s):
+    from ikpso_tpu.models.library import batched_problem
+    from ikpso_tpu.ops import fk as fk_ops
+    from ikpso_tpu.ops.fitness import FitnessConfig
+    from ikpso_tpu.pso.config import PSOConfig
+    from ikpso_tpu.pso.solver import make_solver
+    from ikpso_tpu.utils.profiling import measure, solve_flops
+
+    key_t, key_s = jax.random.split(jax.random.key(0))
+    # Reachable targets: FK of random in-limit poses.
+    lo = spec.min_rotation[1:].reshape(-1)
+    hi = spec.max_rotation[1:].reshape(-1)
+    rand_angles = jax.random.uniform(
+        key_t, (s, spec.dof), minval=lo, maxval=hi, dtype=jnp.float32
+    )
+    rand_pose = fk_ops.angles_to_pose(
+        spec, jnp.broadcast_to(problem.pose[0], (s, 3)), rand_angles
+    )
+    targets = fk_ops.fk_points(spec, rand_pose, problem.origin)[
+        :, list(spec.effector_idx), :
+    ]
+    batched = batched_problem(problem, targets)
+
+    pso = PSOConfig(iterations=iterations, inertia_mode="randomized")
+    fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
+
+    fitness_fn = None
+    if impl == "pallas":
+        from ikpso_tpu.ops.pallas_fitness import make_pallas_fitness
+
+        fitness_fn = make_pallas_fitness(spec, batched, fit=fit)
+
+    solver = make_solver(
+        spec, pso=pso, fit=fit, num_particles=num_particles, fitness_fn=fitness_fn
+    )
+    res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
+    err_mm = np.asarray(res.effector_error) * 1000.0
+    flops = solve_flops(spec, num_particles, s, pso)
+    return dict(
+        wall_s=wall,
+        solves_per_s=s / wall,
+        p50_err_mm=float(np.percentile(err_mm, 50)),
+        p90_err_mm=float(np.percentile(err_mm, 90)),
+        frac_under_1mm=float((err_mm < 1.0).mean()),
+        gflops=flops / wall / 1e9,
+    )
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--swarms", type=int, default=1024)
+    parser.add_argument("--particles", type=int, default=1024)
+    parser.add_argument("--iterations", type=int, default=60)
+    parser.add_argument("--impl", choices=("auto", "jnp", "pallas"), default="auto")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = parser.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.devices()[0].platform
+    impl = args.impl
+    if impl == "auto":
+        impl = "pallas" if platform == "tpu" else "jnp"
+
+    from ikpso_tpu.models.library import arm_7dof
+
+    spec, problem = arm_7dof()
+    stats = _target_p50_under_1mm(
+        spec,
+        problem,
+        jax.random.key(0),
+        num_particles=args.particles,
+        iterations=args.iterations,
+        impl=impl,
+        s=args.swarms,
+    )
+    value = stats["solves_per_s"]
+    record = {
+        "metric": "7dof_ik_solves_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(value / BASELINE_SOLVES_PER_S_PER_CHIP, 4),
+        "platform": platform,
+        "impl": impl,
+        "swarms": args.swarms,
+        "particles": args.particles,
+        "iterations": args.iterations,
+        "p50_err_mm": round(stats["p50_err_mm"], 4),
+        "p90_err_mm": round(stats["p90_err_mm"], 4),
+        "frac_under_1mm": round(stats["frac_under_1mm"], 4),
+        "wall_ms_per_solve_batch": round(stats["wall_s"] * 1e3, 3),
+        "gflops": round(stats["gflops"], 1),
+    }
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

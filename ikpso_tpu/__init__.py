@@ -24,31 +24,37 @@ Design (TPU-first, not a port):
     particle-sharded mode whose gbest is an ICI all-reduce.
 """
 
-from ikpso_tpu.models.chain import ChainSpec, IKProblem
+from ikpso_tpu.models.chain import ChainSpec, IKProblem, Obstacles, make_chain_spec
 from ikpso_tpu.models.library import (
     planar_3dof,
     arm_6dof,
     arm_7dof,
+    batched_problem,
     dual_arm_14dof,
     reference_arm,
     serial_chain,
 )
 from ikpso_tpu.ops.fk import fk, fk_points
-from ikpso_tpu.ops.fitness import FitnessConfig, fitness
+from ikpso_tpu.ops.fitness import FitnessConfig, fitness, true_effector_error
 from ikpso_tpu.pso.config import PSOConfig
-from ikpso_tpu.pso.solver import SolveResult, make_solver, solve
+from ikpso_tpu.pso.solver import SolveResult, make_solver, solve, solve_single
 
 __all__ = [
     "ChainSpec",
     "IKProblem",
+    "Obstacles",
     "FitnessConfig",
     "PSOConfig",
     "SolveResult",
     "fk",
     "fk_points",
     "fitness",
+    "true_effector_error",
+    "make_chain_spec",
     "make_solver",
     "solve",
+    "solve_single",
+    "batched_problem",
     "planar_3dof",
     "arm_6dof",
     "arm_7dof",

@@ -1,0 +1,198 @@
+"""Command-line driver: solve / experiment / sweep / viz.
+
+Replaces the reference's interactive GLFW app + single CLI arg
+(reference Main.cpp:58-63 takes only a particle count). Subcommands:
+
+  solve       one batched solve from a JSON config, print results
+  experiment  the reset->solve->frames-to-converge protocol (§4)
+  sweep       trajectory sweep over many waypoints, checkpointable
+  viz         render the configured scene to HTML / PNG
+
+Run as ``python -m ikpso_tpu.harness.cli <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", default=None, help="JSON config path or literal")
+    p.add_argument("--model", default="reference_arm")
+    p.add_argument("--particles", type=int, default=None)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _load(args):
+    import dataclasses
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ikpso_tpu.utils.configio import load_config
+
+    src = args.config if args.config else {"model": args.model}
+    cfg = load_config(src)
+    if args.particles is not None:
+        cfg = dataclasses.replace(cfg, num_particles=args.particles)
+    if args.iterations is not None:
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(cfg.pso, iterations=args.iterations)
+        )
+    return cfg
+
+
+def cmd_solve(args) -> int:
+    import jax
+
+    from ikpso_tpu.pso.solver import solve_single
+
+    cfg = _load(args)
+    res = solve_single(
+        cfg.spec,
+        cfg.problem,
+        jax.random.key(args.seed),
+        pso=cfg.pso,
+        fit=cfg.fitness,
+        obstacles=cfg.obstacles,
+        num_particles=cfg.num_particles,
+    )
+    print(
+        json.dumps(
+            dict(
+                angles=np.asarray(res.angles).tolist(),
+                fitness=float(res.fitness),
+                effector_error=float(res.effector_error),
+                trace=np.asarray(res.trace).tolist(),
+            )
+        )
+    )
+    return 0
+
+
+def cmd_experiment(args) -> int:
+    import jax
+
+    from ikpso_tpu.harness.experiment import frames_to_converge
+    from ikpso_tpu.models.library import reference_reset_targets
+    from ikpso_tpu.utils.diagnostics import DiagnosticsWriter
+
+    cfg = _load(args)
+    diag = DiagnosticsWriter(args.outdir) if args.outdir else None
+    reset = (
+        reference_reset_targets()
+        if args.model == "reference_arm" and not args.config
+        else np.asarray(cfg.problem.targets)
+    )
+    result = frames_to_converge(
+        cfg.spec,
+        cfg.problem,
+        reset,
+        jax.random.key(args.seed),
+        pso=cfg.pso,
+        fit=cfg.fitness,
+        obstacles=cfg.obstacles,
+        num_particles=cfg.num_particles,
+        eps_dist=args.eps,
+        max_frames=args.max_frames,
+        trials=args.trials,
+        diagnostics=diag,
+    )
+    if diag:
+        diag.close()
+    print(json.dumps(result.summary()))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    import jax
+
+    from ikpso_tpu.harness.trajectory import solve_waypoints
+
+    cfg = _load(args)
+    rng = np.random.default_rng(args.seed)
+    # Sample reachable waypoints around the configured targets.
+    base = np.asarray(cfg.problem.targets)
+    waypoints = base[None] + rng.normal(scale=args.jitter, size=(args.waypoints,) + base.shape).astype(np.float32)
+    result = solve_waypoints(
+        cfg.spec,
+        cfg.problem,
+        waypoints,
+        jax.random.key(args.seed),
+        pso=cfg.pso,
+        fit=cfg.fitness,
+        obstacles=cfg.obstacles,
+        num_particles=cfg.num_particles,
+        batch_size=args.batch,
+        checkpoint_path=args.checkpoint,
+    )
+    print(
+        json.dumps(
+            dict(
+                waypoints=int(result.errors.size),
+                err_mean=float(result.errors.mean()),
+                err_p50=float(np.percentile(result.errors, 50)),
+                err_p95=float(np.percentile(result.errors, 95)),
+                solves_per_second=result.solves_per_second,
+            )
+        )
+    )
+    return 0
+
+
+def cmd_viz(args) -> int:
+    from ikpso_tpu.viz.render import export_html, plot_scene
+
+    cfg = _load(args)
+    out = args.out or "out/scene.html"
+    if out.endswith(".html"):
+        export_html(cfg.spec, cfg.problem, out, obstacles=cfg.obstacles)
+    else:
+        plot_scene(cfg.spec, cfg.problem, obstacles=cfg.obstacles, path=out)
+    print(json.dumps(dict(written=out)))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ikpso")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("solve", help="one solve from config")
+    _add_common(p)
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser("experiment", help="frames-to-converge protocol")
+    _add_common(p)
+    p.add_argument("--trials", type=int, default=32)
+    p.add_argument("--eps", type=float, default=0.025)
+    p.add_argument("--max-frames", type=int, default=300)
+    p.add_argument("--outdir", default=None, help="diagnostics directory")
+    p.set_defaults(fn=cmd_experiment)
+
+    p = sub.add_parser("sweep", help="trajectory waypoint sweep")
+    _add_common(p)
+    p.add_argument("--waypoints", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--jitter", type=float, default=0.25)
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("viz", help="render scene to html/png")
+    _add_common(p)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_viz)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

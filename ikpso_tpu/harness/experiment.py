@@ -1,0 +1,185 @@
+"""The reference's validation experiment, reproduced as a harness.
+
+Protocol (reference Main.cpp:171-216, 330-337, SURVEY.md §4): reset
+the arm to its canonical pose, move the targets to a fixed second set
+(a ~0.5-unit target jump), then re-solve every frame — each solve
+warm-started from the previous frame's result — until the summed true
+Euclidean effector error drops to ``eps_dist`` (0.025 in the
+reference, Main.cpp:134). The frames-to-converge count is the metric
+published in the reference's three experiment reports
+(Documentation/Iteration_{1,2,3}; BASELINE.md).
+
+TPU-native twist: the reference runs one trial at a time in its render
+loop; here T independent trials run as T parallel swarms of one
+batched solve per frame — the frame loop is the only host iteration,
+and it exists because each frame's warm start depends on the previous
+frame's result (inherently sequential, like the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikpso_tpu.models.chain import ChainSpec, IKProblem, Obstacles
+from ikpso_tpu.models.library import batched_problem
+from ikpso_tpu.ops.fitness import FitnessConfig
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.solver import make_solver
+from ikpso_tpu.utils.diagnostics import DiagnosticsWriter
+
+
+@dataclasses.dataclass
+class ExperimentResult:
+    """Frames-to-converge statistics over all trials.
+
+    ``frames`` is -1 for trials that hit ``max_frames`` unconverged.
+    The avg/min/max fields mirror the reference reports' tables
+    (Documentation/Iteration_3/Raport_3.tex:86-91).
+    """
+
+    frames: np.ndarray  # (trials,)
+    final_error: np.ndarray  # (trials,)
+    solves_per_second: float
+    wall_time_s: float
+
+    @property
+    def converged(self) -> np.ndarray:
+        return self.frames >= 0
+
+    def summary(self) -> dict:
+        ok = self.frames[self.converged]
+        return dict(
+            trials=int(self.frames.size),
+            converged=int(ok.size),
+            frames_avg=float(ok.mean()) if ok.size else float("nan"),
+            frames_min=int(ok.min()) if ok.size else -1,
+            frames_max=int(ok.max()) if ok.size else -1,
+            frames_std=float(ok.std()) if ok.size else float("nan"),
+            solves_per_second=self.solves_per_second,
+            wall_time_s=self.wall_time_s,
+        )
+
+
+def frames_to_converge(
+    spec: ChainSpec,
+    problem: IKProblem,
+    reset_targets: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    pso: PSOConfig = PSOConfig(),
+    fit: FitnessConfig = FitnessConfig(),
+    obstacles: Optional[Obstacles] = None,
+    num_particles: int = 16384,
+    eps_dist: float = 0.025,
+    max_frames: int = 300,
+    trials: int = 32,
+    diagnostics: Optional[DiagnosticsWriter] = None,
+) -> ExperimentResult:
+    """Run the reset->solve->converge experiment.
+
+    Args:
+      spec / problem: the arm and its canonical (default) pose — the
+        state the reference's ``resetArm`` restores (Main.cpp:330-337).
+      reset_targets: ``(E, 3)`` the post-reset target set the trials
+        must reach.
+      trials: number of independent trials, run as parallel swarms
+        (each gets its own RNG stream; the reference reruns the same
+        deterministic stream instead, SURVEY.md §2.4.5).
+      diagnostics: optional 4-stream writer; logs trial 0's frames,
+        matching the reference's single-run logging.
+
+    Returns:
+      ExperimentResult with per-trial frame counts (a trial's count is
+      the number of solves until its error first reaches ``eps_dist``).
+    """
+    targets = jnp.broadcast_to(
+        jnp.asarray(reset_targets, jnp.float32)[None],
+        (trials,) + tuple(np.shape(reset_targets)),
+    )
+    batched = batched_problem(problem, targets)
+    solver = make_solver(
+        spec,
+        pso=pso,
+        fit=fit,
+        obstacles=obstacles,
+        num_particles=num_particles,
+    )
+
+    frames = np.full((trials,), -1, np.int64)
+    final_error = np.full((trials,), np.inf, np.float64)
+    done = np.zeros((trials,), bool)
+    current = batched
+
+    start = time.perf_counter()
+    n_solves = 0
+    for frame in range(1, max_frames + 1):
+        key, sub = jax.random.split(key)
+        res = solver(current, sub)
+        n_solves += 1
+        err = np.asarray(res.effector_error)
+        final_error = np.where(done, final_error, err)
+
+        if diagnostics is not None and not done[0]:
+            from ikpso_tpu.ops.fk import fk_points
+
+            pos = np.asarray(fk_points(spec, res.pose[0], batched.origin[0]))[1:]
+            diagnostics.log_frame(np.asarray(res.angles[0]), pos, float(err[0]))
+
+        newly = (~done) & (err <= eps_dist)
+        frames[newly] = frame
+        if diagnostics is not None and newly[0]:
+            diagnostics.log_convergence(frame)
+        done |= newly
+        if done.all():
+            break
+        # Warm start next frame from this frame's solution (the
+        # reference's FromCoords step, Main.cpp:227). Converged trials
+        # keep solving harmlessly (their pose is already at target).
+        current = dataclasses.replace(current, pose=res.pose)
+    wall = time.perf_counter() - start
+
+    return ExperimentResult(
+        frames=frames,
+        final_error=final_error,
+        solves_per_second=(n_solves * trials) / wall if wall > 0 else float("inf"),
+        wall_time_s=wall,
+    )
+
+
+def run_reference_experiment(
+    key=None,
+    *,
+    trials: int = 32,
+    num_particles: int = 16384,
+    pso: PSOConfig = PSOConfig(),
+    fit: FitnessConfig = FitnessConfig(),
+    eps_dist: float = 0.025,
+    max_frames: int = 300,
+    diagnostics: Optional[DiagnosticsWriter] = None,
+) -> ExperimentResult:
+    """The exact shipped-code experiment: 21-DOF arm, 16384 particles,
+    15 randomized-inertia iterations, angle_weight 3.0, eps 0.025."""
+    from ikpso_tpu.models.library import reference_arm, reference_reset_targets
+
+    if key is None:
+        key = jax.random.key(0)
+    spec, problem = reference_arm()
+    return frames_to_converge(
+        spec,
+        problem,
+        reference_reset_targets(),
+        key,
+        pso=pso,
+        fit=fit,
+        num_particles=num_particles,
+        eps_dist=eps_dist,
+        max_frames=max_frames,
+        trials=trials,
+        diagnostics=diagnostics,
+    )

@@ -36,7 +36,10 @@ from ikpso_tpu.ops.collision import chain_collides
 from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
 
 # The reference returns FLT_MAX for colliding poses (kernel.cu:129,134).
-COLLISION_PENALTY = jnp.float32(3.4028235e38)
+# A numpy scalar (not a jnp array) so kernels can close over it.
+import numpy as _np
+
+COLLISION_PENALTY = _np.float32(3.4028235e38)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,381 @@
+"""Fused FK+fitness Pallas TPU kernel.
+
+This is the hot op: the reference spends its time in
+``calculateDistance`` — a per-particle FK rollout plus cost
+accumulation, ~250k evaluations per frame (SURVEY.md §3.4-§3.5). The
+naive jnp path materializes per-particle rotation stacks
+``(S, P, N, 3, 3)`` in HBM between fused ops; this kernel keeps the
+whole transform chain in VMEM registers and writes back only the
+``(S, P)`` fitness — HBM traffic drops from O(S*P*N*9) to
+O(S*P*D) read + O(S*P) write.
+
+Layout: particles ride the TPU lane axis. The kernel consumes angles
+in "DP" form ``(S, D, P)`` viewed as ``(S, D, P/128, 128)``; each grid
+step processes one swarm x one particle tile of ``(8, 128) = 1024``
+particles, with every per-node quantity an ``(8, 128)`` vector
+register. The FK tree walk is unrolled at trace time (static parent
+indices), so the generated kernel is straight-line VPU code: ~9 fused
+multiply-adds per 3x3 compose, sin/cos on the angle rows, and the
+cost reductions.
+
+Per-swarm constants (root rotation, origin, anchors, targets) are
+packed into one small vector; per-chain constants (term weights,
+lengths, effector weights) into another (SMEM) — the TPU equivalent of
+the reference's ``NodeCUDA*`` constant chain in managed memory.
+
+Box-obstacle rejection (SAT, reference kernel.cu:104-136) is fused
+into the same kernel when obstacles are present: each obstacle's
+center/half/rotation is packed per-chain, and every node gizmo + link
+box is tested with the 15-axis separating-axis theorem on (8, 128)
+vectors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ikpso_tpu.models.chain import ChainSpec, IKProblem, Obstacles
+from ikpso_tpu.ops import fk as fk_ops
+from ikpso_tpu.ops.fitness import COLLISION_PENALTY, FitnessConfig
+from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
+
+LANES = 128
+SUBLANES = 8
+TILE_P = LANES * SUBLANES  # particles per grid step
+
+
+def _rot_xyz(ax, ay, az):
+    """Rx@Ry@Rz on elementwise tiles -> 9 tile-shaped entries."""
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    return (
+        cy * cz, -cy * sz, sy,
+        cx * sz + sx * sy * cz, cx * cz - sx * sy * sz, -sx * cy,
+        sx * sz - cx * sy * cz, sx * cz + cx * sy * sz, cx * cy,
+    )
+
+
+def _mat_mul(a, b):
+    """3x3 compose of two 9-tuples of tiles (row-major)."""
+    return (
+        a[0] * b[0] + a[1] * b[3] + a[2] * b[6],
+        a[0] * b[1] + a[1] * b[4] + a[2] * b[7],
+        a[0] * b[2] + a[1] * b[5] + a[2] * b[8],
+        a[3] * b[0] + a[4] * b[3] + a[5] * b[6],
+        a[3] * b[1] + a[4] * b[4] + a[5] * b[7],
+        a[3] * b[2] + a[4] * b[5] + a[5] * b[8],
+        a[6] * b[0] + a[7] * b[3] + a[8] * b[6],
+        a[6] * b[1] + a[7] * b[4] + a[8] * b[7],
+        a[6] * b[2] + a[7] * b[5] + a[8] * b[8],
+    )
+
+
+def _sat_obb(px, py, pz, rot, half, oc, oh, orot):
+    """SAT intersect: per-particle box (center p, rotation ``rot``
+    9-tuple of tiles, half extents ``half`` 3-tuple of scalars) vs one
+    static box (center ``oc``, half ``oh``, rotation ``orot`` — scalars).
+
+    Returns a boolean tile. Mirrors ops.collision.obb_obb_intersect
+    with A = the particle box, B = the obstacle.
+    """
+    eps = 1e-6
+    # C = Ra^T Rb  (Ra rows are tiles, Rb is scalar 3x3)
+    c = [None] * 9
+    for i in range(3):
+        for j in range(3):
+            # column i of Ra dot column j of Rb
+            c[i * 3 + j] = (
+                rot[i] * orot[0][j] + rot[3 + i] * orot[1][j] + rot[6 + i] * orot[2][j]
+            )
+    # T = Ra^T (ob - pa)
+    dx, dy, dz = oc[0] - px, oc[1] - py, oc[2] - pz
+    t = (
+        rot[0] * dx + rot[3] * dy + rot[6] * dz,
+        rot[1] * dx + rot[4] * dy + rot[7] * dz,
+        rot[2] * dx + rot[5] * dy + rot[8] * dz,
+    )
+    ac = [jnp.abs(v) + eps for v in c]
+    a = half
+    b = oh
+    sep = jnp.zeros_like(px, dtype=bool)
+    for i in range(3):
+        rb = b[0] * ac[i * 3] + b[1] * ac[i * 3 + 1] + b[2] * ac[i * 3 + 2]
+        sep |= jnp.abs(t[i]) > a[i] + rb
+    for j in range(3):
+        ra = a[0] * ac[j] + a[1] * ac[3 + j] + a[2] * ac[6 + j]
+        proj = t[0] * c[j] + t[1] * c[3 + j] + t[2] * c[6 + j]
+        sep |= jnp.abs(proj) > ra + b[j]
+    for i in range(3):
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            ra = a[i1] * ac[i2 * 3 + j] + a[i2] * ac[i1 * 3 + j]
+            rb = b[j1] * ac[i * 3 + j2] + b[j2] * ac[i * 3 + j1]
+            lhs = jnp.abs(t[i2] * c[i1 * 3 + j] - t[i1] * c[i2 * 3 + j])
+            sep |= lhs > ra + rb
+    return ~sep
+
+
+def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
+                  gizmo_size: float):
+    """Trace-time specialization of the kernel body for one topology."""
+    n = spec.num_nodes
+    num_joints = n - 1
+    d = spec.dof
+    eff_set = {e: i for i, e in enumerate(spec.effector_idx)}
+    e_count = len(spec.effector_idx)
+
+    # swarm_ref layout (see _pack_swarm): root R (9), origin (3),
+    # anchor angles (D), targets (3E), anchor positions (3(N-1)).
+    OFF_ROOT = 0
+    OFF_ORIGIN = 9
+    OFF_ANCHOR = 12
+    OFF_TGT = 12 + d
+    OFF_APOS = 12 + d + 3 * e_count
+
+    # meta_ref layout (see _pack_meta): [aw/J, dw/J, len_1.., w_e..,
+    # then per obstacle: center(3) half(3) rot(9)].
+    OFF_LEN = 2
+    OFF_EW = 2 + num_joints
+    OFF_OBS = OFF_EW + e_count
+
+    def kernel(meta_ref, swarm_ref, x_ref, out_ref):
+        aw = meta_ref[0, 0]
+        dw = meta_ref[0, 1]
+
+        def sw(i):
+            return swarm_ref[0, 0, i]
+
+        root_r = tuple(sw(OFF_ROOT + i) for i in range(9))
+        root_p = tuple(sw(OFF_ORIGIN + i) for i in range(3))
+
+        rot_diff = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        pos_diff = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        cost = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        hit = jnp.zeros((SUBLANES, LANES), jnp.bool_)
+
+        if num_obstacles:
+            obstacles = []
+            for o in range(num_obstacles):
+                base = OFF_OBS + o * 15
+                oc = tuple(meta_ref[0, base + i] for i in range(3))
+                oh = tuple(meta_ref[0, base + 3 + i] for i in range(3))
+                orot = tuple(
+                    tuple(meta_ref[0, base + 6 + r * 3 + cc] for cc in range(3))
+                    for r in range(3)
+                )
+                obstacles.append((oc, oh, orot))
+            gz = gizmo_size * 0.5
+            node_half = (gz, gz, gz)
+
+        # World rotation/position per node; parents precede children.
+        rots = {0: root_r}
+        poss = {0: root_p}
+        for k in range(1, n):
+            d0 = 3 * (k - 1)
+            ax = x_ref[0, d0]
+            ay = x_ref[0, d0 + 1]
+            az = x_ref[0, d0 + 2]
+            local = _rot_xyz(ax, ay, az)
+            parent = spec.parent[k]
+            pr = rots[parent]
+            rk = _mat_mul(pr, local)
+            length = meta_ref[0, OFF_LEN + (k - 1)]
+            pp = poss[parent]
+            pk = (
+                pp[0] + length * rk[0],
+                pp[1] + length * rk[3],
+                pp[2] + length * rk[6],
+            )
+            rots[k] = rk
+            poss[k] = pk
+
+            # Angular locality (reference kernel.cu:78-84).
+            da = ax - sw(OFF_ANCHOR + d0)
+            db = ay - sw(OFF_ANCHOR + d0 + 1)
+            dc = az - sw(OFF_ANCHOR + d0 + 2)
+            rot_diff += da * da + db * db + dc * dc
+
+            if use_distance_term:
+                ox = pk[0] - sw(OFF_APOS + d0)
+                oy = pk[1] - sw(OFF_APOS + d0 + 1)
+                oz = pk[2] - sw(OFF_APOS + d0 + 2)
+                pos_diff += ox * ox + oy * oy + oz * oz
+
+            if num_obstacles:
+                # Node gizmo cube + link box vs every obstacle
+                # (reference kernel.cu:104-136).
+                mid = (
+                    (pk[0] + pp[0]) * 0.5,
+                    (pk[1] + pp[1]) * 0.5,
+                    (pk[2] + pp[2]) * 0.5,
+                )
+                link_half = (
+                    # length is a traced scalar; fine inside the tuple
+                    length * 0.5,
+                    gizmo_size * 0.25 * 0.5,
+                    gizmo_size * 0.25 * 0.5,
+                )
+                for oc, oh, orot in obstacles:
+                    hit |= _sat_obb(pk[0], pk[1], pk[2], rk, node_half, oc, oh, orot)
+                    hit |= _sat_obb(mid[0], mid[1], mid[2], rk, link_half, oc, oh, orot)
+
+            if k in eff_set:
+                e = eff_set[k]
+                w = meta_ref[0, OFF_EW + e]
+                tx = sw(OFF_TGT + 3 * e)
+                ty = sw(OFF_TGT + 3 * e + 1)
+                tz = sw(OFF_TGT + 3 * e + 2)
+                ex = pk[0] - tx
+                ey = pk[1] - ty
+                ez = pk[2] - tz
+                cost += w * (ex * ex + ey * ey + ez * ez)
+
+        total = cost + (aw / num_joints) * rot_diff
+        if use_distance_term:
+            total = total + (dw / num_joints) * pos_diff
+        if num_obstacles:
+            total = jnp.where(hit, COLLISION_PENALTY, total)
+        out_ref[0] = total
+
+    return kernel
+
+
+def _pack_meta(
+    spec: ChainSpec, fit: FitnessConfig, obstacles: Optional[Obstacles]
+) -> jnp.ndarray:
+    parts = [
+        jnp.stack([jnp.float32(fit.angle_weight), jnp.float32(fit.distance_weight)]),
+        spec.length[1:],
+        spec.effector_weight[np.array(spec.effector_idx)],
+    ]
+    if obstacles is not None and obstacles.count > 0:
+        per = jnp.concatenate(
+            [
+                obstacles.center,
+                obstacles.half_extent,
+                obstacles.rot.reshape(-1, 9),
+            ],
+            axis=-1,
+        )  # (C, 15)
+        parts.append(per.reshape(-1))
+    return jnp.concatenate(parts).astype(jnp.float32)[None, :]  # (1, M)
+
+
+def _pack_swarm(
+    spec: ChainSpec, problem: IKProblem, anchor_angles, anchor_positions
+) -> jnp.ndarray:
+    """(S, K) per-swarm constant vector (see kernel layout comment)."""
+    root_r = euler_xyz_to_matrix(problem.pose[..., 0, :])  # (S, 3, 3)
+    s = root_r.shape[0]
+    return jnp.concatenate(
+        [
+            root_r.reshape(s, 9),
+            jnp.broadcast_to(problem.origin, (s, 3)),
+            anchor_angles,
+            problem.targets.reshape(s, -1),
+            anchor_positions[:, 1:].reshape(s, -1),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+
+
+def fused_fitness(
+    spec: ChainSpec,
+    x_dp: jnp.ndarray,
+    meta: jnp.ndarray,
+    swarm: jnp.ndarray,
+    *,
+    num_obstacles: int = 0,
+    use_distance_term: bool = False,
+    gizmo_size: float = 0.2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the kernel. ``x_dp``: (S, D, P) angles; returns (S, P)."""
+    s, d, p = x_dp.shape
+    if p % TILE_P:
+        raise ValueError(f"P={p} must be a multiple of {TILE_P} for the fused kernel")
+    tiles = p // TILE_P
+    x4 = x_dp.reshape(s, d, p // LANES, LANES)
+    kernel = _build_kernel(spec, num_obstacles, use_distance_term, gizmo_size)
+
+    m = meta.shape[-1]
+    k = swarm.shape[-1]
+    # (S, 1, K): per-swarm SMEM blocks must have trailing dims equal to
+    # the array's (TPU block-shape divisibility rule).
+    swarm3 = swarm[:, None, :]
+    n = spec.num_nodes
+    # ~FLOPs per particle: N-1 composes (45 mul + 36 add) + trig + cost.
+    flops_pp = (n - 1) * 140 + spec.dof * 10
+    out = pl.pallas_call(
+        kernel,
+        grid=(s, tiles),
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, d, SUBLANES, LANES),
+                lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, p // LANES, LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_pp * s * p,
+            bytes_accessed=x_dp.size * 4 + s * p * 4,
+            transcendentals=2 * spec.dof * s * p,
+        ),
+        interpret=interpret,
+    )(meta, swarm3, x4)
+    return out.reshape(s, p)
+
+
+def make_pallas_fitness(
+    spec: ChainSpec,
+    problem: IKProblem,
+    fit: FitnessConfig = FitnessConfig(),
+    obstacles: Optional[Obstacles] = None,
+    interpret: bool = False,
+):
+    """Build a solver-compatible fitness_fn backed by the fused kernel.
+
+    The returned callable takes ``x`` of shape (S, P, D) — the solver's
+    native layout — transposes to lane-major (S, D, P), and invokes the
+    kernel. Distance-term anchors and per-swarm constants are packed
+    once at closure build (hoisted out of the PSO loop, like the jnp
+    path).
+    """
+    anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
+    anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
+    meta = _pack_meta(spec, fit, obstacles)
+    swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions)
+    num_obstacles = 0 if obstacles is None else obstacles.count
+    # The distance term participates only if its weight can be nonzero;
+    # it is a compile-time choice like everything else in the config.
+    use_distance = float(np.asarray(fit.distance_weight)) != 0.0
+
+    def fitness_fn(x: jnp.ndarray) -> jnp.ndarray:
+        x_dp = jnp.swapaxes(x, -1, -2)  # (S, D, P)
+        return fused_fitness(
+            spec,
+            x_dp,
+            meta,
+            swarm,
+            num_obstacles=num_obstacles,
+            use_distance_term=use_distance,
+            gizmo_size=fit.gizmo_size,
+            interpret=interpret,
+        )
+
+    return fitness_fn

@@ -1,0 +1,4 @@
+"""The PSO solver core."""
+
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.solver import SolveResult, make_solver, solve, solve_single

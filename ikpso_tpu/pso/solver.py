@@ -42,6 +42,11 @@ from ikpso_tpu.ops.fitness import FitnessConfig, fitness, true_effector_error
 from ikpso_tpu.pso.config import PSOConfig
 
 FitnessFn = Callable[[jnp.ndarray], jnp.ndarray]  # (S, P, D) -> (S, P)
+# Optional cross-device reduction applied to the per-shard gbest
+# candidate: ((S,), (S, D)) -> ((S,), (S, D)). Used when the particle
+# axis of a swarm is sharded across chips (ikpso_tpu.parallel) — the
+# TPU rebirth of the reference's thrust::min_element (SURVEY.md §2.5).
+GbestReduce = Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
 @jax.tree_util.register_dataclass
@@ -88,6 +93,7 @@ def pso_iteration(
     lo: jnp.ndarray,
     hi: jnp.ndarray,
     pso: PSOConfig,
+    gbest_reduce: Optional[GbestReduce] = None,
 ):
     """One PSO step over the full (S, P, D) state. Pure; scan body."""
     shape = x.shape
@@ -116,6 +122,8 @@ def pso_iteration(
     lbest = jnp.where(improved[..., None], x, lbest)
 
     cand_val, cand = _swarm_argmin(lbest_val, lbest)
+    if gbest_reduce is not None:
+        cand_val, cand = gbest_reduce(cand_val, cand)
     better = cand_val < gbest_val
     gbest_val = jnp.where(better, cand_val, gbest_val)
     gbest = jnp.where(better[:, None], cand, gbest)
@@ -128,6 +136,7 @@ def init_swarm(
     num_particles: int,
     fitness_fn: FitnessFn,
     pso: PSOConfig,
+    gbest_reduce: Optional[GbestReduce] = None,
 ):
     """Warm-start swarm init (reference initParticlesKernel, kernel.cu:223-266).
 
@@ -148,6 +157,8 @@ def init_swarm(
     lbest = x
     lbest_val = fitness_fn(x)
     gbest_val, gbest = _swarm_argmin(lbest_val, lbest)
+    if gbest_reduce is not None:
+        gbest_val, gbest = gbest_reduce(gbest_val, gbest)
     return x, v, lbest, lbest_val, gbest, gbest_val
 
 
@@ -160,6 +171,8 @@ def solve(
     obstacles: Optional[Obstacles] = None,
     num_particles: int = 1024,
     fitness_fn: Optional[FitnessFn] = None,
+    gbest_reduce: Optional[GbestReduce] = None,
+    vary_axes: Tuple[str, ...] = (),
 ) -> SolveResult:
     """Solve a batch of IK problems with PSO. Jit-compatible end to end.
 
@@ -194,13 +207,31 @@ def solve(
     hi = spec.max_rotation[1:].reshape(-1)
 
     key_init, key_loop = jax.random.split(key)
-    state = init_swarm(key_init, anchor_angles, num_particles, fitness_fn, pso)
+    x0, v0, lbest0, lbest_val0, gbest0, gbest_val0 = init_swarm(
+        key_init, anchor_angles, num_particles, fitness_fn, pso, gbest_reduce
+    )
+    if vary_axes:
+        # Under shard_map with a sharded particle axis, the warm-start
+        # state is device-invariant (broadcast anchor) but becomes
+        # device-varying after one iteration of per-shard randomness;
+        # mark the carry as varying up front so the scan types match.
+        def _ensure_varying(t):
+            vma = getattr(jax.typeof(t), "vma", frozenset())
+            missing = tuple(a for a in vary_axes if a not in vma)
+            if missing:
+                t = jax.lax.pcast(t, missing, to="varying")
+            return t
+
+        x0, v0, lbest0, lbest_val0 = (
+            _ensure_varying(t) for t in (x0, v0, lbest0, lbest_val0)
+        )
+    state = (x0, v0, lbest0, lbest_val0, gbest0, gbest_val0)
 
     def body(carry, it_key):
         x, v, lbest, lbest_val, gbest, gbest_val = carry
         new = pso_iteration(
             x, v, lbest, lbest_val, gbest, gbest_val,
-            it_key, fitness_fn, lo, hi, pso,
+            it_key, fitness_fn, lo, hi, pso, gbest_reduce,
         )
         return new, new[5]  # trace gbest_val
 
@@ -240,6 +271,7 @@ def make_solver(
     obstacles: Optional[Obstacles] = None,
     num_particles: int = 1024,
     fitness_fn: Optional[FitnessFn] = None,
+    gbest_reduce: Optional[GbestReduce] = None,
     donate: bool = True,
 ):
     """A jitted ``(problem, key) -> SolveResult`` closure.
@@ -260,6 +292,7 @@ def make_solver(
             obstacles=obstacles,
             num_particles=num_particles,
             fitness_fn=fitness_fn,
+            gbest_reduce=gbest_reduce,
         )
 
     return _solve

@@ -1,0 +1,86 @@
+"""Tracing / profiling: timers, FLOP estimates, jax.profiler hooks.
+
+The reference's only instrumentation is printf of per-run error and
+frames-to-converge (reference Main.cpp:195,201; SURVEY.md §5). Here:
+wall-clock timers that block on device completion, analytic FLOP
+counts for the FK+fitness pipeline (kernel-throughput reporting per
+BASELINE.json), and a jax.profiler trace context for TPU timelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+from ikpso_tpu.models.chain import ChainSpec
+from ikpso_tpu.pso.config import PSOConfig
+
+
+class Timer:
+    """Wall-clock timer that waits for device completion on exit."""
+
+    def __init__(self, sync=None):
+        self._sync = sync
+        self.elapsed_s: Optional[float] = None
+
+    def __enter__(self):
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self._sync is not None:
+            jax.block_until_ready(self._sync)
+        self.elapsed_s = time.perf_counter() - self._start
+
+    def sync_on(self, value):
+        """Register a value to block on before stopping the clock."""
+        self._sync = value
+        return value
+
+
+def fk_fitness_flops(spec: ChainSpec) -> int:
+    """Approximate FLOPs of one fused FK+fitness evaluation.
+
+    Per non-root node: one 3x3 compose (45 mul + 36 add), position
+    update (6), locality + effector cost (~10 per DOF). Trig counted
+    separately by callers that care about transcendentals.
+    """
+    n = spec.num_nodes
+    return (n - 1) * 140 + spec.dof * 10
+
+
+def solve_flops(
+    spec: ChainSpec, num_particles: int, num_swarms: int, pso: PSOConfig
+) -> int:
+    """Total FLOPs of one batched PSO solve (init + iterations)."""
+    per_fit = fk_fitness_flops(spec)
+    per_update = spec.dof * 10  # velocity FMA chain + clamp
+    evals = num_swarms * num_particles * (pso.iterations + 1)
+    updates = num_swarms * num_particles * pso.iterations
+    return evals * per_fit + updates * per_update
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str]):
+    """jax.profiler trace context (no-op when logdir is None)."""
+    if logdir is None:
+        yield
+        return
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def measure(fn, *args, warmup: int = 1, iters: int = 5):
+    """Best-of wall time for a jitted callable; returns (result, seconds)."""
+    result = None
+    for _ in range(max(warmup, 1)):
+        result = jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(max(iters, 1)):
+        t0 = time.perf_counter()
+        result = jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return result, best

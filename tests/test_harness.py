@@ -1,0 +1,183 @@
+"""Experiment harness, trajectory sweep, diagnostics, checkpoint, CLI."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ikpso_tpu.harness.experiment import frames_to_converge
+from ikpso_tpu.harness.trajectory import solve_waypoints
+from ikpso_tpu.models import library
+from ikpso_tpu.ops.fitness import FitnessConfig
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.utils import checkpoint as ckpt
+from ikpso_tpu.utils.diagnostics import DiagnosticsWriter, SolveLogger
+
+
+def test_frames_to_converge_planar(tmp_path):
+    # Small, CPU-friendly version of the reference protocol.
+    spec, problem = library.planar_3dof(target=(2.9, 0.3, 0.0))
+    reset_targets = np.asarray([[1.5, 1.5, 0.0]], np.float32)
+    diag = DiagnosticsWriter(str(tmp_path))
+    result = frames_to_converge(
+        spec,
+        problem,
+        reset_targets,
+        jax.random.key(0),
+        pso=PSOConfig(iterations=25),
+        fit=FitnessConfig(angle_weight=0.5),
+        num_particles=256,
+        eps_dist=0.05,
+        max_frames=60,
+        trials=4,
+        diagnostics=diag,
+    )
+    diag.close()
+    s = result.summary()
+    assert s["converged"] >= 3, s
+    assert s["frames_avg"] >= 1
+    # Diagnostics files written with the reference's schema.
+    deg = (tmp_path / "IK-diagnostics-degrees.txt").read_text().strip().splitlines()
+    assert len(deg) >= 1
+    assert len(deg[0].split(";")) == spec.dof + 1  # trailing ';'
+    frames_log = (tmp_path / "IK-diagnostics-frames.txt").read_text().strip()
+    assert int(frames_log.splitlines()[0]) >= 1
+    dist = (tmp_path / "IK-diagnostics-distance.txt").read_text().strip().splitlines()
+    assert float(dist[0]) > 0
+
+
+def test_frames_counts_are_plausible():
+    # With a target jump and warm start, convergence should take >= 1
+    # frame and improve monotonically-ish; all trials converge.
+    spec, problem = library.planar_3dof(target=(2.9, 0.3, 0.0))
+    result = frames_to_converge(
+        spec,
+        problem,
+        np.asarray([[1.0, 2.0, 0.0]], np.float32),
+        jax.random.key(1),
+        pso=PSOConfig(iterations=30),
+        fit=FitnessConfig(angle_weight=0.5),
+        num_particles=512,
+        eps_dist=0.05,
+        max_frames=80,
+        trials=4,
+    )
+    assert result.converged.all(), result.frames
+    assert (result.frames[result.converged] >= 1).all()
+
+
+def test_trajectory_sweep_and_checkpoint(tmp_path):
+    spec, problem = library.planar_3dof()
+    rng = np.random.default_rng(0)
+    base = np.asarray(problem.targets)
+    waypoints = base[None] + rng.normal(scale=0.2, size=(10,) + base.shape).astype(
+        np.float32
+    )
+    path = str(tmp_path / "sweep.npz")
+    res = solve_waypoints(
+        spec,
+        problem,
+        waypoints,
+        jax.random.key(0),
+        pso=PSOConfig(iterations=30),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=128,
+        batch_size=4,
+        checkpoint_path=path,
+    )
+    assert res.angles.shape == (10, spec.dof)
+    assert np.isfinite(res.errors).all()
+    assert (res.errors < 0.25).mean() > 0.7
+
+    # Checkpoint recorded completion; resuming does no work and
+    # returns identical results.
+    state = ckpt.load(path)
+    assert state.cursor == 10
+    res2 = solve_waypoints(
+        spec,
+        problem,
+        waypoints,
+        jax.random.key(0),
+        num_particles=128,
+        batch_size=4,
+        checkpoint_path=path,
+    )
+    np.testing.assert_array_equal(res.angles, res2.angles)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "s.npz")
+    st = ckpt.fresh_state(5, 9, jax.random.key(3))
+    st.angles[2] = 1.5
+    st = __import__("dataclasses").replace(st, cursor=3)
+    ckpt.save(path, st)
+    loaded = ckpt.load(path)
+    assert loaded.cursor == 3
+    np.testing.assert_array_equal(loaded.angles, st.angles)
+    # Key round-trips through raw data.
+    assert loaded.key is not None
+
+
+def test_solve_logger(tmp_path):
+    path = str(tmp_path / "solves.jsonl")
+    with SolveLogger(path) as log:
+        log.log(target=[1, 2, 3], iterations=15, final_error=0.01, wall_time_s=0.5)
+        log.log(final_error=0.02, extra_field="x")
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["target"] == [1, 2, 3]
+    assert json.loads(lines[1])["extra_field"] == "x"
+
+
+def test_cli_solve_and_viz(tmp_path, capsys):
+    from ikpso_tpu.harness.cli import main
+
+    rc = main(
+        [
+            "solve",
+            "--model",
+            "planar_3dof",
+            "--particles",
+            "64",
+            "--iterations",
+            "5",
+            "--cpu",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "effector_error" in out
+
+    html = str(tmp_path / "scene.html")
+    rc = main(["viz", "--model", "reference_arm", "--out", html, "--cpu"])
+    assert rc == 0
+    capsys.readouterr()
+    content = open(html).read()
+    assert "SCENE" in content and "nodes" in content
+
+
+def test_configio_roundtrip():
+    from ikpso_tpu.utils.configio import dump_config, load_config
+
+    cfg = load_config({"model": "reference_arm", "pso": {"iterations": 7}})
+    assert cfg.pso.iterations == 7
+    assert cfg.spec.dof == 21
+    doc = dump_config(cfg)
+    cfg2 = load_config(doc)
+    assert cfg2.spec.parent == cfg.spec.parent
+    assert cfg2.pso.iterations == 7
+    np.testing.assert_allclose(
+        np.asarray(cfg2.problem.targets), np.asarray(cfg.problem.targets)
+    )
+
+
+def test_configio_rejects_unknown_keys():
+    from ikpso_tpu.utils.configio import load_config
+
+    with pytest.raises(ValueError):
+        load_config({"model": "planar_3dof", "pso": {"bogus": 1}})
+    with pytest.raises(ValueError):
+        load_config({"model": "nope"})
