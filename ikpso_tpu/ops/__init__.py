@@ -6,8 +6,9 @@ function names; the package namespace keeps the SUBMODULES (so
 from the submodules directly: ``from ikpso_tpu.ops.fk import fk``.
 """
 
-from ikpso_tpu.ops import collision, fitness, fk, pallas_fitness, rotations
+from ikpso_tpu.ops import collision, fitness, fk, gjk, pallas_fitness, rotations
 from ikpso_tpu.ops.collision import chain_collides, obb_obb_intersect
+from ikpso_tpu.ops.gjk import chain_collides_gjk, gjk_box_box, gjk_intersect
 from ikpso_tpu.ops.fitness import COLLISION_PENALTY, FitnessConfig, true_effector_error
 from ikpso_tpu.ops.fk import (
     angles_to_pose,
@@ -22,6 +23,10 @@ __all__ = [
     "collision",
     "fitness",
     "fk",
+    "gjk",
+    "chain_collides_gjk",
+    "gjk_box_box",
+    "gjk_intersect",
     "pallas_fitness",
     "rotations",
     "chain_collides",

@@ -61,6 +61,10 @@ class FitnessConfig:
     orientation_weight: float = 0.0
     error_threshold: float = 0.1
     gizmo_size: float = dataclasses.field(default=0.2, metadata=dict(static=True))
+    # "sat" (closed-form, exact for boxes — the TPU-native default) or
+    # "gjk" (the reference's iterative algorithm, masked fixed-iteration
+    # form; ikpso_tpu.ops.gjk). Both reject with COLLISION_PENALTY.
+    collision_backend: str = dataclasses.field(default="sat", metadata=dict(static=True))
 
 
 def fitness(
@@ -154,8 +158,17 @@ def fitness(
     )
 
     if obstacles is not None and obstacles.count > 0:
+        if config.collision_backend == "gjk":
+            from ikpso_tpu.ops.gjk import chain_collides_gjk as _collides
+        elif config.collision_backend == "sat":
+            _collides = chain_collides
+        else:
+            raise ValueError(
+                f"unknown collision_backend {config.collision_backend!r}; "
+                "expected 'sat' or 'gjk'"
+            )
         parent_pos = positions[..., list(spec.parent[1:]), :]
-        hit = chain_collides(
+        hit = _collides(
             positions[..., 1:, :],
             rotations[..., 1:, :, :],
             parent_pos,

@@ -150,6 +150,7 @@ def dump_config(cfg: RunConfig) -> str:
             "distance_weight": float(cfg.fitness.distance_weight),
             "orientation_weight": float(cfg.fitness.orientation_weight),
             "error_threshold": float(cfg.fitness.error_threshold),
+            "collision_backend": cfg.fitness.collision_backend,
         },
         "num_particles": cfg.num_particles,
     }
