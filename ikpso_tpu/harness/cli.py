@@ -83,10 +83,10 @@ def cmd_experiment(args) -> int:
 
     from ikpso_tpu.harness.experiment import frames_to_converge
     from ikpso_tpu.models.library import reference_reset_targets
-    from ikpso_tpu.utils.diagnostics import DiagnosticsWriter
+    from ikpso_tpu.native import make_diagnostics_writer
 
     cfg = _load(args)
-    diag = DiagnosticsWriter(args.outdir) if args.outdir else None
+    diag = make_diagnostics_writer(args.outdir) if args.outdir else None
     reset = (
         reference_reset_targets()
         if args.model == "reference_arm" and not args.config
