@@ -57,15 +57,22 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     pso = PSOConfig(iterations=iterations, inertia_mode="randomized")
     fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
 
-    fitness_fn = None
-    if impl == "pallas":
-        from ikpso_tpu.ops.pallas_fitness import make_pallas_fitness
+    if impl == "fused":
+        from ikpso_tpu.pso.fused import make_fused_solver
 
-        fitness_fn = make_pallas_fitness(spec, batched, fit=fit)
+        solver = make_fused_solver(
+            spec, pso=pso, fit=fit, num_particles=num_particles
+        )
+    else:
+        fitness_fn = None
+        if impl == "pallas":
+            from ikpso_tpu.ops.pallas_fitness import make_pallas_fitness
 
-    solver = make_solver(
-        spec, pso=pso, fit=fit, num_particles=num_particles, fitness_fn=fitness_fn
-    )
+            fitness_fn = make_pallas_fitness(spec, batched, fit=fit)
+
+        solver = make_solver(
+            spec, pso=pso, fit=fit, num_particles=num_particles, fitness_fn=fitness_fn
+        )
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
     err_mm = np.asarray(res.effector_error) * 1000.0
     flops = solve_flops(spec, num_particles, s, pso)
@@ -84,7 +91,9 @@ def main() -> int:
     parser.add_argument("--swarms", type=int, default=1024)
     parser.add_argument("--particles", type=int, default=1024)
     parser.add_argument("--iterations", type=int, default=60)
-    parser.add_argument("--impl", choices=("auto", "jnp", "pallas"), default="auto")
+    parser.add_argument(
+        "--impl", choices=("auto", "jnp", "pallas", "fused"), default="auto"
+    )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -93,7 +102,7 @@ def main() -> int:
     platform = jax.devices()[0].platform
     impl = args.impl
     if impl == "auto":
-        impl = "pallas" if platform == "tpu" else "jnp"
+        impl = "fused" if platform == "tpu" else "jnp"
 
     from ikpso_tpu.models.library import arm_7dof
 

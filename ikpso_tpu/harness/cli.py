@@ -27,6 +27,28 @@ def _add_common(p):
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--impl",
+        choices=("auto", "jnp", "fused"),
+        default="auto",
+        help="solver backend: lax.scan (jnp) or the fully-fused Pallas "
+        "megakernel (fused, TPU only); auto picks fused on TPU when the "
+        "particle count allows",
+    )
+
+
+def _pick_impl(args, cfg) -> str:
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if args.impl != "auto":
+        if args.impl == "fused" and not on_tpu:
+            raise SystemExit(
+                "error: --impl fused requires a TPU backend "
+                "(the megakernel uses the on-core PRNG); use --impl jnp on CPU"
+            )
+        return args.impl
+    return "fused" if on_tpu and cfg.num_particles % 1024 == 0 else "jnp"
 
 
 def _load(args):
@@ -53,18 +75,34 @@ def _load(args):
 def cmd_solve(args) -> int:
     import jax
 
-    from ikpso_tpu.pso.solver import solve_single
-
     cfg = _load(args)
-    res = solve_single(
-        cfg.spec,
-        cfg.problem,
-        jax.random.key(args.seed),
-        pso=cfg.pso,
-        fit=cfg.fitness,
-        obstacles=cfg.obstacles,
-        num_particles=cfg.num_particles,
-    )
+    impl = _pick_impl(args, cfg)
+    if impl == "fused":
+        from ikpso_tpu.pso.fused import make_fused_solver
+
+        solver = make_fused_solver(
+            cfg.spec,
+            pso=cfg.pso,
+            fit=cfg.fitness,
+            obstacles=cfg.obstacles,
+            num_particles=cfg.num_particles,
+        )
+        batched = jax.tree.map(lambda x: x[None], cfg.problem)
+        res = jax.tree.map(
+            lambda x: x[0], solver(batched, jax.random.key(args.seed))
+        )
+    else:
+        from ikpso_tpu.pso.solver import solve_single
+
+        res = solve_single(
+            cfg.spec,
+            cfg.problem,
+            jax.random.key(args.seed),
+            pso=cfg.pso,
+            fit=cfg.fitness,
+            obstacles=cfg.obstacles,
+            num_particles=cfg.num_particles,
+        )
     print(
         json.dumps(
             dict(
@@ -105,6 +143,7 @@ def cmd_experiment(args) -> int:
         max_frames=args.max_frames,
         trials=args.trials,
         diagnostics=diag,
+        impl=_pick_impl(args, cfg),
     )
     if diag:
         diag.close()
@@ -133,6 +172,7 @@ def cmd_sweep(args) -> int:
         num_particles=cfg.num_particles,
         batch_size=args.batch,
         checkpoint_path=args.checkpoint,
+        impl=_pick_impl(args, cfg),
     )
     print(
         json.dumps(

@@ -80,6 +80,7 @@ def frames_to_converge(
     max_frames: int = 300,
     trials: int = 32,
     diagnostics: Optional[DiagnosticsWriter] = None,
+    impl: str = "jnp",
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -103,13 +104,21 @@ def frames_to_converge(
         (trials,) + tuple(np.shape(reset_targets)),
     )
     batched = batched_problem(problem, targets)
-    solver = make_solver(
-        spec,
-        pso=pso,
-        fit=fit,
-        obstacles=obstacles,
-        num_particles=num_particles,
-    )
+    if impl == "fused":
+        from ikpso_tpu.pso.fused import make_fused_solver
+
+        solver = make_fused_solver(
+            spec, pso=pso, fit=fit, obstacles=obstacles,
+            num_particles=num_particles,
+        )
+    else:
+        solver = make_solver(
+            spec,
+            pso=pso,
+            fit=fit,
+            obstacles=obstacles,
+            num_particles=num_particles,
+        )
 
     frames = np.full((trials,), -1, np.int64)
     final_error = np.full((trials,), np.inf, np.float64)

@@ -45,6 +45,7 @@ def solve_waypoints(
     batch_size: int = 256,
     checkpoint_path: Optional[str] = None,
     mesh=None,
+    impl: str = "jnp",
 ) -> SweepResult:
     """Solve every waypoint (W, E, 3) as an independent swarm.
 
@@ -62,9 +63,18 @@ def solve_waypoints(
         state = ckpt.fresh_state(w, dof, key)
 
     if mesh is None:
-        solver = make_solver(
-            spec, pso=pso, fit=fit, obstacles=obstacles, num_particles=num_particles
-        )
+        if impl == "fused":
+            from ikpso_tpu.pso.fused import make_fused_solver
+
+            solver = make_fused_solver(
+                spec, pso=pso, fit=fit, obstacles=obstacles,
+                num_particles=num_particles,
+            )
+        else:
+            solver = make_solver(
+                spec, pso=pso, fit=fit, obstacles=obstacles,
+                num_particles=num_particles,
+            )
     else:
         from ikpso_tpu.parallel.sharded import make_sharded_solver
 

@@ -43,8 +43,8 @@ def obb_obb_intersect(
       ``(...,)`` bool — True where the boxes overlap.
     """
     # Everything in A's frame: C = Ra^T Rb, T = Ra^T (pb - pa).
-    c = jnp.einsum("...ji,...jk->...ik", rot_a, rot_b)
-    t = jnp.einsum("...ji,...j->...i", rot_a, center_b - center_a)
+    c = jnp.einsum("...ji,...jk->...ik", rot_a, rot_b, precision="highest")
+    t = jnp.einsum("...ji,...j->...i", rot_a, center_b - center_a, precision="highest")
     abs_c = jnp.abs(c) + _SAT_EPS
 
     a0, a1, a2 = half_a[..., 0], half_a[..., 1], half_a[..., 2]

@@ -54,7 +54,12 @@ def fk(
     lengths = spec.length
     for k in range(1, n):
         p = spec.parent[k]
-        rk = rots[p] @ local[..., k, :, :]
+        # precision="highest": XLA's default routes even 3x3 f32
+        # matmuls through the MXU at bf16-ish precision, which injects
+        # ~1e-3 absolute FK error — fatal for sub-mm IK (measured
+        # 5.4e-3 mean fitness error vs a float64 oracle; the Pallas
+        # kernels are exact because they compose elementwise on VPU).
+        rk = jnp.matmul(rots[p], local[..., k, :, :], precision="highest")
         # T_x(L): offset L along the node's world X axis (column 0).
         pk = poss[p] + lengths[k] * rk[..., :, 0]
         rots.append(rk)
@@ -101,7 +106,10 @@ def _affine_compose(a, b):
     """(Ra, ta) . (Rb, tb) = (Ra@Rb, ta + Ra@tb) — associative."""
     ra, ta = a
     rb, tb = b
-    return ra @ rb, ta + jnp.einsum("...ij,...j->...i", ra, tb)
+    return (
+        jnp.matmul(ra, rb, precision="highest"),
+        ta + jnp.einsum("...ij,...j->...i", ra, tb, precision="highest"),
+    )
 
 
 def fk_serial_scan(

@@ -124,127 +124,164 @@ def _sat_obb(px, py, pz, rot, half, oc, oh, orot):
     return ~sep
 
 
+class MetaLayout:
+    """Offsets into the packed per-chain (meta) and per-swarm vectors.
+
+    meta:  [aw, dw, len_1..len_{N-1}, w_e.., (center3 half3 rot9) x C]
+    swarm: [root R (9), origin (3), anchor angles (D), targets (3E),
+            anchor positions (3(N-1))]
+    """
+
+    def __init__(self, spec: ChainSpec, num_obstacles: int):
+        d = spec.dof
+        e_count = len(spec.effector_idx)
+        num_joints = spec.num_nodes - 1
+        self.OFF_LEN = 2
+        self.OFF_EW = 2 + num_joints
+        self.OFF_OBS = self.OFF_EW + e_count
+        self.meta_size = self.OFF_OBS + 15 * num_obstacles
+        self.OFF_ROOT = 0
+        self.OFF_ORIGIN = 9
+        self.OFF_ANCHOR = 12
+        self.OFF_TGT = 12 + d
+        self.OFF_APOS = 12 + d + 3 * e_count
+        self.swarm_size = self.OFF_APOS + 3 * num_joints
+
+
+def fk_fitness_tile(
+    spec: ChainSpec,
+    get_x,
+    meta,
+    sw,
+    tile_shape,
+    *,
+    num_obstacles: int,
+    use_distance_term: bool,
+    gizmo_size: float,
+):
+    """FK rollout + cost for one particle tile (shared kernel body).
+
+    ``get_x(d)`` returns the tile of angles for DOF ``d``; ``meta(i)`` /
+    ``sw(i)`` read scalars from the packed per-chain / per-swarm
+    constant vectors (layout: :class:`MetaLayout`). Used by both the
+    standalone fitness kernel and the fused full-solve kernel
+    (ikpso_tpu.pso.fused).
+    """
+    n = spec.num_nodes
+    num_joints = n - 1
+    eff_set = {e: i for i, e in enumerate(spec.effector_idx)}
+    lay = MetaLayout(spec, num_obstacles)
+
+    aw = meta(0)
+    dw = meta(1)
+    root_r = tuple(sw(lay.OFF_ROOT + i) for i in range(9))
+    root_p = tuple(sw(lay.OFF_ORIGIN + i) for i in range(3))
+
+    rot_diff = jnp.zeros(tile_shape, jnp.float32)
+    pos_diff = jnp.zeros(tile_shape, jnp.float32)
+    cost = jnp.zeros(tile_shape, jnp.float32)
+    hit = jnp.zeros(tile_shape, jnp.bool_)
+
+    if num_obstacles:
+        obstacles = []
+        for o in range(num_obstacles):
+            base = lay.OFF_OBS + o * 15
+            oc = tuple(meta(base + i) for i in range(3))
+            oh = tuple(meta(base + 3 + i) for i in range(3))
+            orot = tuple(
+                tuple(meta(base + 6 + r * 3 + cc) for cc in range(3))
+                for r in range(3)
+            )
+            obstacles.append((oc, oh, orot))
+        gz = gizmo_size * 0.5
+        node_half = (gz, gz, gz)
+
+    # World rotation/position per node; parents precede children.
+    rots = {0: root_r}
+    poss = {0: root_p}
+    for k in range(1, n):
+        d0 = 3 * (k - 1)
+        ax = get_x(d0)
+        ay = get_x(d0 + 1)
+        az = get_x(d0 + 2)
+        local = _rot_xyz(ax, ay, az)
+        parent = spec.parent[k]
+        pr = rots[parent]
+        rk = _mat_mul(pr, local)
+        length = meta(lay.OFF_LEN + (k - 1))
+        pp = poss[parent]
+        pk = (
+            pp[0] + length * rk[0],
+            pp[1] + length * rk[3],
+            pp[2] + length * rk[6],
+        )
+        rots[k] = rk
+        poss[k] = pk
+
+        # Angular locality (reference kernel.cu:78-84).
+        da = ax - sw(lay.OFF_ANCHOR + d0)
+        db = ay - sw(lay.OFF_ANCHOR + d0 + 1)
+        dc = az - sw(lay.OFF_ANCHOR + d0 + 2)
+        rot_diff += da * da + db * db + dc * dc
+
+        if use_distance_term:
+            ox = pk[0] - sw(lay.OFF_APOS + d0)
+            oy = pk[1] - sw(lay.OFF_APOS + d0 + 1)
+            oz = pk[2] - sw(lay.OFF_APOS + d0 + 2)
+            pos_diff += ox * ox + oy * oy + oz * oz
+
+        if num_obstacles:
+            # Node gizmo cube + link box vs every obstacle
+            # (reference kernel.cu:104-136).
+            mid = (
+                (pk[0] + pp[0]) * 0.5,
+                (pk[1] + pp[1]) * 0.5,
+                (pk[2] + pp[2]) * 0.5,
+            )
+            link_half = (
+                # length is a traced scalar; fine inside the tuple
+                length * 0.5,
+                gizmo_size * 0.25 * 0.5,
+                gizmo_size * 0.25 * 0.5,
+            )
+            for oc, oh, orot in obstacles:
+                hit |= _sat_obb(pk[0], pk[1], pk[2], rk, node_half, oc, oh, orot)
+                hit |= _sat_obb(mid[0], mid[1], mid[2], rk, link_half, oc, oh, orot)
+
+        if k in eff_set:
+            e = eff_set[k]
+            w = meta(lay.OFF_EW + e)
+            tx = sw(lay.OFF_TGT + 3 * e)
+            ty = sw(lay.OFF_TGT + 3 * e + 1)
+            tz = sw(lay.OFF_TGT + 3 * e + 2)
+            ex = pk[0] - tx
+            ey = pk[1] - ty
+            ez = pk[2] - tz
+            cost += w * (ex * ex + ey * ey + ez * ez)
+
+    total = cost + (aw / num_joints) * rot_diff
+    if use_distance_term:
+        total = total + (dw / num_joints) * pos_diff
+    if num_obstacles:
+        total = jnp.where(hit, COLLISION_PENALTY, total)
+    return total
+
+
 def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
                   gizmo_size: float):
     """Trace-time specialization of the kernel body for one topology."""
-    n = spec.num_nodes
-    num_joints = n - 1
-    d = spec.dof
-    eff_set = {e: i for i, e in enumerate(spec.effector_idx)}
-    e_count = len(spec.effector_idx)
-
-    # swarm_ref layout (see _pack_swarm): root R (9), origin (3),
-    # anchor angles (D), targets (3E), anchor positions (3(N-1)).
-    OFF_ROOT = 0
-    OFF_ORIGIN = 9
-    OFF_ANCHOR = 12
-    OFF_TGT = 12 + d
-    OFF_APOS = 12 + d + 3 * e_count
-
-    # meta_ref layout (see _pack_meta): [aw/J, dw/J, len_1.., w_e..,
-    # then per obstacle: center(3) half(3) rot(9)].
-    OFF_LEN = 2
-    OFF_EW = 2 + num_joints
-    OFF_OBS = OFF_EW + e_count
 
     def kernel(meta_ref, swarm_ref, x_ref, out_ref):
-        aw = meta_ref[0, 0]
-        dw = meta_ref[0, 1]
-
-        def sw(i):
-            return swarm_ref[0, 0, i]
-
-        root_r = tuple(sw(OFF_ROOT + i) for i in range(9))
-        root_p = tuple(sw(OFF_ORIGIN + i) for i in range(3))
-
-        rot_diff = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        pos_diff = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        cost = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        hit = jnp.zeros((SUBLANES, LANES), jnp.bool_)
-
-        if num_obstacles:
-            obstacles = []
-            for o in range(num_obstacles):
-                base = OFF_OBS + o * 15
-                oc = tuple(meta_ref[0, base + i] for i in range(3))
-                oh = tuple(meta_ref[0, base + 3 + i] for i in range(3))
-                orot = tuple(
-                    tuple(meta_ref[0, base + 6 + r * 3 + cc] for cc in range(3))
-                    for r in range(3)
-                )
-                obstacles.append((oc, oh, orot))
-            gz = gizmo_size * 0.5
-            node_half = (gz, gz, gz)
-
-        # World rotation/position per node; parents precede children.
-        rots = {0: root_r}
-        poss = {0: root_p}
-        for k in range(1, n):
-            d0 = 3 * (k - 1)
-            ax = x_ref[0, d0]
-            ay = x_ref[0, d0 + 1]
-            az = x_ref[0, d0 + 2]
-            local = _rot_xyz(ax, ay, az)
-            parent = spec.parent[k]
-            pr = rots[parent]
-            rk = _mat_mul(pr, local)
-            length = meta_ref[0, OFF_LEN + (k - 1)]
-            pp = poss[parent]
-            pk = (
-                pp[0] + length * rk[0],
-                pp[1] + length * rk[3],
-                pp[2] + length * rk[6],
-            )
-            rots[k] = rk
-            poss[k] = pk
-
-            # Angular locality (reference kernel.cu:78-84).
-            da = ax - sw(OFF_ANCHOR + d0)
-            db = ay - sw(OFF_ANCHOR + d0 + 1)
-            dc = az - sw(OFF_ANCHOR + d0 + 2)
-            rot_diff += da * da + db * db + dc * dc
-
-            if use_distance_term:
-                ox = pk[0] - sw(OFF_APOS + d0)
-                oy = pk[1] - sw(OFF_APOS + d0 + 1)
-                oz = pk[2] - sw(OFF_APOS + d0 + 2)
-                pos_diff += ox * ox + oy * oy + oz * oz
-
-            if num_obstacles:
-                # Node gizmo cube + link box vs every obstacle
-                # (reference kernel.cu:104-136).
-                mid = (
-                    (pk[0] + pp[0]) * 0.5,
-                    (pk[1] + pp[1]) * 0.5,
-                    (pk[2] + pp[2]) * 0.5,
-                )
-                link_half = (
-                    # length is a traced scalar; fine inside the tuple
-                    length * 0.5,
-                    gizmo_size * 0.25 * 0.5,
-                    gizmo_size * 0.25 * 0.5,
-                )
-                for oc, oh, orot in obstacles:
-                    hit |= _sat_obb(pk[0], pk[1], pk[2], rk, node_half, oc, oh, orot)
-                    hit |= _sat_obb(mid[0], mid[1], mid[2], rk, link_half, oc, oh, orot)
-
-            if k in eff_set:
-                e = eff_set[k]
-                w = meta_ref[0, OFF_EW + e]
-                tx = sw(OFF_TGT + 3 * e)
-                ty = sw(OFF_TGT + 3 * e + 1)
-                tz = sw(OFF_TGT + 3 * e + 2)
-                ex = pk[0] - tx
-                ey = pk[1] - ty
-                ez = pk[2] - tz
-                cost += w * (ex * ex + ey * ey + ez * ez)
-
-        total = cost + (aw / num_joints) * rot_diff
-        if use_distance_term:
-            total = total + (dw / num_joints) * pos_diff
-        if num_obstacles:
-            total = jnp.where(hit, COLLISION_PENALTY, total)
-        out_ref[0] = total
+        out_ref[0] = fk_fitness_tile(
+            spec,
+            lambda d: x_ref[0, d],
+            lambda i: meta_ref[0, i],
+            lambda i: swarm_ref[0, 0, i],
+            (SUBLANES, LANES),
+            num_obstacles=num_obstacles,
+            use_distance_term=use_distance_term,
+            gizmo_size=gizmo_size,
+        )
 
     return kernel
 

@@ -1,0 +1,337 @@
+"""Fully-fused PSO solve: the ENTIRE solver in one Pallas TPU kernel.
+
+The reference's per-frame solve crosses the host/device boundary >= 3x
+per PSO iteration (thrust reduction + scalar memcpy + synchronize,
+reference kernel.cu:307-323; SURVEY.md §3.3). The jnp/`lax.scan` path
+(ikpso_tpu.pso.solver) already removes all host syncs, but still
+round-trips the swarm state ``(S, P, D)`` and fresh uniform draws
+through HBM every iteration.
+
+This module removes HBM from the loop entirely. One ``pallas_call``
+grid step owns one complete swarm:
+
+  * state (positions, velocities, local bests) lives in VMEM for the
+    whole solve — per swarm at P=1024, D=21 that is 3 x 86 KB, far
+    under the ~16 MB/core budget;
+  * warm-start init happens in-kernel from the packed per-swarm
+    constants (no ``(S, P, D)`` inputs at all);
+  * RNG is the TPU core's native PRNG (`pltpu.prng_random_bits`),
+    seeded per swarm — the curand-per-particle equivalent
+    (reference utility_kernels.cuh:21-47) without any state arrays;
+  * the gbest "reduction" is a masked min over the resident tile —
+    thrust::min_element reborn as a register reduction;
+  * only the final result leaves the chip: gbest angles + fitness
+    (one 128-lane row per swarm).
+
+HBM traffic for an entire solve is O(S * (swarm consts + 128)) — the
+kernel is compute-bound on the VPU by construction. Iterations and
+particle count are trace-time constants (XLA model: shapes static per
+jit; SURVEY.md §7 "static shapes").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ikpso_tpu.models.chain import ChainSpec, IKProblem, Obstacles
+from ikpso_tpu.ops import fk as fk_ops
+from ikpso_tpu.ops.fitness import FitnessConfig, true_effector_error
+from ikpso_tpu.ops.pallas_fitness import (
+    LANES,
+    _pack_meta,
+    _pack_swarm,
+    fk_fitness_tile,
+)
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.solver import SolveResult
+
+_INV_2_24 = np.float32(1.0 / (1 << 24))
+_BIG_I32 = np.int32(2**31 - 1)
+
+
+def _uniform(shape):
+    """U[0, 1) from the core PRNG: top 24 bits of each draw.
+
+    ``prng_random_bits`` yields int32 on TPU — the shift MUST be
+    logical, not arithmetic, or sign extension warps the distribution
+    to [-0.5, 0.5) (found the hard way: PSO still "works" with that,
+    it just converges ~30x worse).
+    """
+    bits = pltpu.prng_random_bits(shape)
+    return jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * _INV_2_24
+
+
+def _build_solver_kernel(
+    spec: ChainSpec,
+    pso: PSOConfig,
+    fit: FitnessConfig,
+    num_obstacles: int,
+    rows: int,
+    debug_uniforms: bool = False,
+):
+    """Kernel: one grid step = one swarm's complete PSO solve.
+
+    Array layout: angles/velocities/lbest are ``(D * rows, LANES)``
+    with DOF d occupying rows ``[d*rows, (d+1)*rows)`` — every per-DOF
+    quantity is a native ``(rows, 128)`` VPU tile.
+    """
+    d = spec.dof
+    use_distance = float(np.asarray(fit.distance_weight)) != 0.0
+    randomized = pso.inertia_mode == "randomized"
+    lay_anchor = 12  # MetaLayout.OFF_ANCHOR
+    tile = (rows, LANES)
+    w = np.float32(pso.inertia)
+    c1 = np.float32(pso.cognitive)
+    c2 = np.float32(pso.social)
+    vscale = np.float32(pso.init_velocity_scale)
+
+    def fitness_of(x):
+        return fk_fitness_tile(
+            spec,
+            lambda dd: x[dd * rows:(dd + 1) * rows],
+            lambda i: None,  # replaced below (needs refs)
+            lambda i: None,
+            tile,
+            num_obstacles=num_obstacles,
+            use_distance_term=use_distance,
+            gizmo_size=fit.gizmo_size,
+        )
+
+    del fitness_of  # bound properly inside the kernel where refs exist
+
+    def kernel(meta_ref, swarm_ref, limits_ref, seed_ref, *rest):
+        if debug_uniforms:
+            u_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+            u_ref = None
+        pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
+
+        def meta(i):
+            return meta_ref[0, i]
+
+        def sw(i):
+            return swarm_ref[0, 0, i]
+
+        def fitness_of(x):
+            return fk_fitness_tile(
+                spec,
+                lambda dd: x[dd * rows:(dd + 1) * rows],
+                meta,
+                sw,
+                tile,
+                num_obstacles=num_obstacles,
+                use_distance_term=use_distance,
+                gizmo_size=fit.gizmo_size,
+            )
+
+        # Joint-limit clamp bounds, (D*rows, LANES) broadcast rows.
+        lo = jnp.concatenate(
+            [jnp.full(tile, limits_ref[0, dd]) for dd in range(d)], axis=0
+        )
+        hi = jnp.concatenate(
+            [jnp.full(tile, limits_ref[1, dd]) for dd in range(d)], axis=0
+        )
+
+        # Warm start: every particle AT the anchor pose; diversity from
+        # uniform velocities (reference initParticlesKernel,
+        # kernel.cu:223-266 / SURVEY.md §2.3 step 1).
+        x0 = jnp.concatenate(
+            [jnp.full(tile, sw(lay_anchor + dd)) for dd in range(d)], axis=0
+        )
+        if debug_uniforms:
+            draws_per_iter = 3 if randomized else 2
+
+            def draw(slot):
+                return u_ref[0, slot]
+        else:
+            def draw(_slot):
+                return _uniform((d * rows, LANES))
+
+        v0 = (draw(0) * 2.0 - 1.0) * vscale
+        lbest_val0 = fitness_of(x0)
+
+        # Linear particle ids for deterministic argmin tie-breaking
+        # (thrust::min_element's first-minimum semantics).
+        pid = (
+            jax.lax.broadcasted_iota(jnp.int32, tile, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, tile, 1)
+        )
+
+        def gbest_tiles(lbest, lbest_val):
+            """Broadcast tiles of the current global best's coords."""
+            m = jnp.min(lbest_val)
+            winner_id = jnp.min(jnp.where(lbest_val == m, pid, _BIG_I32))
+            mask = (pid == winner_id).astype(jnp.float32)
+            return m, [
+                jnp.full(tile, jnp.sum(lbest[dd * rows:(dd + 1) * rows] * mask))
+                for dd in range(d)
+            ]
+
+        def body(it, carry):
+            x, v, lbest, lbest_val = carry
+            _, gb = gbest_tiles(lbest, lbest_val)
+            gb = jnp.concatenate(gb, axis=0)
+            if debug_uniforms:
+                base = 1 + it * draws_per_iter
+                u_c = draw(base)
+                u_s = draw(base + 1)
+                u_w = draw(base + 2) if randomized else None
+            else:
+                u_c = draw(None)
+                u_s = draw(None)
+                u_w = draw(None) if randomized else None
+            if randomized:
+                v = w * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
+            else:
+                v = w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
+            # Integrate + per-axis joint-limit clamp (kernel.cu:168-187).
+            x = jnp.clip(x + v, lo, hi)
+            f = fitness_of(x)
+            better = f < lbest_val
+            lbest_val = jnp.where(better, f, lbest_val)
+            bmask = jnp.concatenate([better] * d, axis=0)
+            lbest = jnp.where(bmask, x, lbest)
+            return x, v, lbest, lbest_val
+
+        if debug_uniforms:
+            # Static unroll so the debug-uniform slots index statically.
+            carry = (x0, v0, x0, lbest_val0)
+            for it in range(pso.iterations):
+                carry = body(it, carry)
+            x, v, lbest, lbest_val = carry
+        else:
+            x, v, lbest, lbest_val = jax.lax.fori_loop(
+                0, pso.iterations, body, (x0, v0, x0, lbest_val0)
+            )
+
+        gval, gb = gbest_tiles(lbest, lbest_val)
+        # Result row: lanes [0, D) = gbest angles, lane D = gbest value.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        acc = jnp.where(lane == d, gval, 0.0)
+        for dd in range(d):
+            acc = jnp.where(lane == dd, gb[dd][0, 0], acc)
+        out_ref[0] = acc
+
+    return kernel
+
+
+def fused_solve_raw(
+    spec: ChainSpec,
+    pso: PSOConfig,
+    fit: FitnessConfig,
+    meta: jnp.ndarray,
+    swarm: jnp.ndarray,
+    limits: jnp.ndarray,
+    seeds: jnp.ndarray,
+    num_particles: int,
+    num_obstacles: int,
+    interpret: bool = False,
+    uniforms: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the full-solve kernel. Returns (gbest (S, D), gbest_val (S,)).
+
+    ``uniforms`` (testing only): ``(S, n_draws, D*rows, LANES)`` — inject
+    the random stream instead of the on-core PRNG, so the kernel's
+    trajectory can be replayed bit-for-bit by a jnp reference.
+    """
+    if num_particles % LANES:
+        raise ValueError(f"num_particles must be a multiple of {LANES}")
+    rows = num_particles // LANES
+    if rows < 8:
+        raise ValueError("fused solver needs num_particles >= 1024 (8 sublanes)")
+    s = swarm.shape[0]
+    d = spec.dof
+    kernel = _build_solver_kernel(
+        spec, pso, fit, num_obstacles, rows, debug_uniforms=uniforms is not None
+    )
+
+    n = spec.num_nodes
+    flops_pp = ((n - 1) * 140 + d * 12) * (pso.iterations + 1)
+    in_specs = [
+        pl.BlockSpec((1, meta.shape[-1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, swarm.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        # (S, 1, 2) so the trailing block dims equal the array dims
+        # (TPU block-shape divisibility rule).
+        pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [meta, swarm[:, None, :], limits, seeds[:, None, :]]
+    if uniforms is not None:
+        nd = uniforms.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, nd, d * rows, LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(uniforms)
+    out = pl.pallas_call(
+        kernel,
+        grid=(s,),
+        in_specs=in_specs,
+        # (S, 1, LANES): trailing block dims must equal the array dims.
+        out_specs=pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, 1, LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_pp * s * num_particles,
+            bytes_accessed=s * (swarm.shape[-1] + LANES) * 4,
+            transcendentals=2 * d * s * num_particles * (pso.iterations + 1),
+        ),
+        interpret=interpret,
+    )(*args)
+    out = out[:, 0, :]
+    return out[:, :d], out[:, d]
+
+
+def make_fused_solver(
+    spec: ChainSpec,
+    pso: PSOConfig = PSOConfig(),
+    fit: FitnessConfig = FitnessConfig(),
+    obstacles: Optional[Obstacles] = None,
+    num_particles: int = 1024,
+    interpret: bool = False,
+):
+    """A jitted ``(problem, key) -> SolveResult`` running the megakernel.
+
+    Drop-in for :func:`ikpso_tpu.pso.solver.make_solver` minus the
+    per-iteration ``trace`` (the scan-based solver remains the
+    convergence-analysis tool; ``trace`` here has one entry: the final
+    gbest fitness).
+    """
+    num_obstacles = 0 if obstacles is None else obstacles.count
+    meta = _pack_meta(spec, fit, obstacles)
+    limits = jnp.stack(
+        [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]
+    )
+
+    @jax.jit
+    def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
+        anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
+        anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
+        swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions)
+        s = swarm.shape[0]
+        seeds = jax.random.bits(key, (s, 2), dtype=jnp.uint32).astype(jnp.int32)
+        gbest, gbest_val = fused_solve_raw(
+            spec, pso, fit, meta, swarm, limits, seeds,
+            num_particles, num_obstacles, interpret=interpret,
+        )
+        solved_pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], gbest)
+        err = true_effector_error(spec, solved_pose, problem)
+        return SolveResult(
+            angles=gbest,
+            fitness=gbest_val,
+            pose=solved_pose,
+            effector_error=err,
+            trace=gbest_val[None],
+        )
+
+    return _solve

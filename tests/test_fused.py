@@ -1,0 +1,118 @@
+"""Fused full-solve Pallas kernel (ikpso_tpu.pso.fused).
+
+The TPU interpreter stubs `pltpu.prng_random_bits` to zeros, so CPU
+tests exercise the kernel's structure (init, fitness, gbest selection,
+clamping) with degenerate RNG; statistical convergence parity against
+the jnp solver is asserted on real TPU hardware only (bench.py runs
+`--impl fused` there).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ikpso_tpu.models import library
+from ikpso_tpu.ops import fk as fk_ops
+from ikpso_tpu.ops.fitness import FitnessConfig
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.fused import make_fused_solver
+
+INTERPRET = jax.devices()[0].platform != "tpu"
+
+
+def _interpret():
+    return pltpu.InterpretParams() if INTERPRET else False
+
+
+def _batched(problem, s):
+    return library.batched_problem(
+        problem, jnp.broadcast_to(problem.targets, (s,) + problem.targets.shape)
+    )
+
+
+def test_anchor_with_perfect_targets_stays_gbest():
+    # Targets exactly at the anchor pose's effectors: the warm-start
+    # fitness is 0 and no particle can beat it, so gbest must be the
+    # anchor with fitness 0 regardless of the RNG stream.
+    spec, problem = library.arm_7dof()
+    eff = fk_ops.effector_positions(spec, problem.pose, problem.origin)
+    problem = problem.replace(targets=eff)
+    batched = _batched(problem, 2)
+    solver = make_fused_solver(
+        spec,
+        pso=PSOConfig(iterations=3),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=1024,
+        interpret=_interpret(),
+    )
+    res = solver(batched, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(res.fitness), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.effector_error), 0.0, atol=1e-5)
+    anchor = np.asarray(fk_ops.pose_to_angles(spec, problem.pose))
+    np.testing.assert_allclose(np.asarray(res.angles), anchor[None].repeat(2, 0), atol=1e-6)
+
+
+def test_fused_fitness_matches_jnp_at_anchor():
+    # gbest fitness after 0 iterations == the jnp fitness of the anchor
+    # (init evaluates fitness once; with 1 iteration and zero RNG in
+    # interpret mode the anchor remains a member of the swarm).
+    from ikpso_tpu.ops.fitness import fitness as jnp_fitness
+
+    spec, problem = library.reference_arm()
+    batched = _batched(problem, 2)
+    fit = FitnessConfig(angle_weight=3.0, distance_weight=0.7)
+    solver = make_fused_solver(
+        spec,
+        pso=PSOConfig(iterations=1),
+        fit=fit,
+        num_particles=1024,
+        interpret=_interpret(),
+    )
+    res = solver(batched, jax.random.key(1))
+    anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
+    ref = float(jnp_fitness(spec, anchor_angles, problem, config=fit))
+    # gbest can only be <= the anchor fitness.
+    assert np.all(np.asarray(res.fitness) <= ref + 1e-6)
+
+
+def test_joint_limits_respected():
+    spec, problem = library.planar_3dof()
+    batched = _batched(problem, 2)
+    solver = make_fused_solver(
+        spec,
+        pso=PSOConfig(iterations=5),
+        num_particles=1024,
+        interpret=_interpret(),
+    )
+    res = solver(batched, jax.random.key(2))
+    lo = np.asarray(spec.min_rotation[1:]).reshape(-1)
+    hi = np.asarray(spec.max_rotation[1:]).reshape(-1)
+    a = np.asarray(res.angles)
+    assert (a >= lo - 1e-6).all() and (a <= hi + 1e-6).all()
+
+
+def test_rejects_bad_particle_counts():
+    spec, problem = library.planar_3dof()
+    with pytest.raises(ValueError):
+        solver = make_fused_solver(spec, num_particles=96, interpret=_interpret())
+        solver(_batched(problem, 1), jax.random.key(0))
+    with pytest.raises(ValueError):
+        solver = make_fused_solver(spec, num_particles=512, interpret=_interpret())
+        solver(_batched(problem, 1), jax.random.key(0))
+
+
+@pytest.mark.skipif(INTERPRET, reason="needs real TPU PRNG")
+def test_fused_converges_on_tpu():
+    spec, problem = library.arm_7dof()
+    batched = _batched(problem, 8)
+    solver = make_fused_solver(
+        spec,
+        pso=PSOConfig(iterations=30),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=1024,
+    )
+    res = solver(batched, jax.random.key(0))
+    # Starting error is ~2.08; PSO must reduce it dramatically.
+    assert np.median(np.asarray(res.effector_error)) < 0.1
