@@ -70,6 +70,7 @@ def solve_sharded(
     num_particles: int = 1024,
     fitness_fn=None,
     jit: bool = True,
+    impl: str = "jnp",
 ) -> SolveResult:
     """Solve a swarm batch across a device mesh.
 
@@ -115,6 +116,19 @@ def solve_sharded(
         else None
     )
 
+    if impl == "fused":
+        if has_particle:
+            raise ValueError(
+                "impl='fused' shards swarms only; the megakernel's gbest "
+                "is swarm-local (use impl='jnp' for particle-axis sharding)"
+            )
+        from ikpso_tpu.pso.fused import make_fused_solver
+
+        fused = make_fused_solver(
+            chain, pso=pso, fit=fit, obstacles=obstacles,
+            num_particles=num_particles,
+        )
+
     def body(local_problem: IKProblem, k: jnp.ndarray) -> SolveResult:
         # Distinct RNG stream per shard: swarm shards hold different
         # problems, particle shards hold different particles.
@@ -122,6 +136,8 @@ def solve_sharded(
             k = jax.random.fold_in(k, lax.axis_index(SWARM_AXIS))
         if has_particle:
             k = jax.random.fold_in(k, lax.axis_index(PARTICLE_AXIS))
+        if impl == "fused":
+            return fused(local_problem, k)
         return solve(
             chain,
             local_problem,
