@@ -31,7 +31,7 @@ BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
 
 
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
-                          impl, s):
+                          impl, s, inertia_mode):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -54,7 +54,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     ]
     batched = batched_problem(problem, targets)
 
-    pso = PSOConfig(iterations=iterations, inertia_mode="randomized")
+    pso = PSOConfig(iterations=iterations, inertia_mode=inertia_mode)
     fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
 
     if impl == "fused":
@@ -88,9 +88,20 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--swarms", type=int, default=1024)
+    parser.add_argument("--swarms", type=int, default=4096)
     parser.add_argument("--particles", type=int, default=1024)
-    parser.add_argument("--iterations", type=int, default=60)
+    parser.add_argument(
+        "--iterations",
+        type=int,
+        default=None,
+        help="PSO iterations (default: 25 for fused/canonical, 60 for jnp)",
+    )
+    parser.add_argument(
+        "--inertia-mode",
+        choices=("canonical", "randomized"),
+        default=None,
+        help="default: canonical for fused (tight p90), randomized otherwise",
+    )
     parser.add_argument(
         "--impl", choices=("auto", "jnp", "pallas", "fused"), default="auto"
     )
@@ -99,10 +110,19 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: Mosaic/XLA compiles over the TPU
+    # tunnel take minutes; cache them across processes.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     platform = jax.devices()[0].platform
     impl = args.impl
     if impl == "auto":
         impl = "fused" if platform == "tpu" else "jnp"
+    # Canonical inertia converges much tighter (p90 0.19mm vs 22mm at
+    # 60 iters), letting the fused path hit 100% <1mm in 25 iterations;
+    # the randomized mode stays available for reference-parity runs.
+    inertia_mode = args.inertia_mode or ("canonical" if impl == "fused" else "randomized")
+    iterations = args.iterations or (25 if inertia_mode == "canonical" else 60)
 
     from ikpso_tpu.models.library import arm_7dof
 
@@ -112,9 +132,10 @@ def main() -> int:
         problem,
         jax.random.key(0),
         num_particles=args.particles,
-        iterations=args.iterations,
+        iterations=iterations,
         impl=impl,
         s=args.swarms,
+        inertia_mode=inertia_mode,
     )
     value = stats["solves_per_s"]
     record = {
@@ -126,7 +147,8 @@ def main() -> int:
         "impl": impl,
         "swarms": args.swarms,
         "particles": args.particles,
-        "iterations": args.iterations,
+        "iterations": iterations,
+        "inertia_mode": inertia_mode,
         "p50_err_mm": round(stats["p50_err_mm"], 4),
         "p90_err_mm": round(stats["p90_err_mm"], 4),
         "frac_under_1mm": round(stats["frac_under_1mm"], 4),

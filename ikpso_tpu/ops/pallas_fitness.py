@@ -132,20 +132,26 @@ class MetaLayout:
             anchor positions (3(N-1))]
     """
 
-    def __init__(self, spec: ChainSpec, num_obstacles: int):
+    def __init__(self, spec: ChainSpec, num_obstacles: int,
+                 use_orientation: bool = False):
         d = spec.dof
         e_count = len(spec.effector_idx)
         num_joints = spec.num_nodes - 1
         self.OFF_LEN = 2
         self.OFF_EW = 2 + num_joints
         self.OFF_OBS = self.OFF_EW + e_count
-        self.meta_size = self.OFF_OBS + 15 * num_obstacles
+        # Orientation weight rides at the END of meta so the offsets
+        # above stay stable whether or not it is present.
+        self.OFF_OW = self.OFF_OBS + 15 * num_obstacles
+        self.meta_size = self.OFF_OW + (1 if use_orientation else 0)
         self.OFF_ROOT = 0
         self.OFF_ORIGIN = 9
         self.OFF_ANCHOR = 12
         self.OFF_TGT = 12 + d
         self.OFF_APOS = 12 + d + 3 * e_count
-        self.swarm_size = self.OFF_APOS + 3 * num_joints
+        # Optional per-effector target rotation matrices (9E), appended.
+        self.OFF_TROT = self.OFF_APOS + 3 * num_joints
+        self.swarm_size = self.OFF_TROT + (9 * e_count if use_orientation else 0)
 
 
 def fk_fitness_tile(
@@ -158,6 +164,7 @@ def fk_fitness_tile(
     num_obstacles: int,
     use_distance_term: bool,
     gizmo_size: float,
+    use_orientation: bool = False,
 ):
     """FK rollout + cost for one particle tile (shared kernel body).
 
@@ -170,7 +177,7 @@ def fk_fitness_tile(
     n = spec.num_nodes
     num_joints = n - 1
     eff_set = {e: i for i, e in enumerate(spec.effector_idx)}
-    lay = MetaLayout(spec, num_obstacles)
+    lay = MetaLayout(spec, num_obstacles, use_orientation)
 
     aw = meta(0)
     dw = meta(1)
@@ -259,6 +266,17 @@ def fk_fitness_tile(
             ez = pk[2] - tz
             cost += w * (ex * ex + ey * ey + ez * ez)
 
+            if use_orientation:
+                # Squared Frobenius distance between the effector's
+                # world rotation and its target rotation (matches
+                # ops.fitness orientation term).
+                ow = meta(lay.OFF_OW)
+                fro = jnp.zeros(tile_shape, jnp.float32)
+                for i in range(9):
+                    dr = rk[i] - sw(lay.OFF_TROT + 9 * e + i)
+                    fro += dr * dr
+                cost += ow * w * fro
+
     total = cost + (aw / num_joints) * rot_diff
     if use_distance_term:
         total = total + (dw / num_joints) * pos_diff
@@ -268,7 +286,7 @@ def fk_fitness_tile(
 
 
 def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
-                  gizmo_size: float):
+                  gizmo_size: float, use_orientation: bool = False):
     """Trace-time specialization of the kernel body for one topology."""
 
     def kernel(meta_ref, swarm_ref, x_ref, out_ref):
@@ -281,13 +299,17 @@ def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
             num_obstacles=num_obstacles,
             use_distance_term=use_distance_term,
             gizmo_size=gizmo_size,
+            use_orientation=use_orientation,
         )
 
     return kernel
 
 
 def _pack_meta(
-    spec: ChainSpec, fit: FitnessConfig, obstacles: Optional[Obstacles]
+    spec: ChainSpec,
+    fit: FitnessConfig,
+    obstacles: Optional[Obstacles],
+    use_orientation: bool = False,
 ) -> jnp.ndarray:
     parts = [
         jnp.stack([jnp.float32(fit.angle_weight), jnp.float32(fit.distance_weight)]),
@@ -304,25 +326,30 @@ def _pack_meta(
             axis=-1,
         )  # (C, 15)
         parts.append(per.reshape(-1))
+    if use_orientation:
+        parts.append(jnp.asarray([fit.orientation_weight], jnp.float32))
     return jnp.concatenate(parts).astype(jnp.float32)[None, :]  # (1, M)
 
 
 def _pack_swarm(
-    spec: ChainSpec, problem: IKProblem, anchor_angles, anchor_positions
+    spec: ChainSpec, problem: IKProblem, anchor_angles, anchor_positions,
+    use_orientation: bool = False,
 ) -> jnp.ndarray:
     """(S, K) per-swarm constant vector (see kernel layout comment)."""
     root_r = euler_xyz_to_matrix(problem.pose[..., 0, :])  # (S, 3, 3)
     s = root_r.shape[0]
-    return jnp.concatenate(
-        [
-            root_r.reshape(s, 9),
-            jnp.broadcast_to(problem.origin, (s, 3)),
-            anchor_angles,
-            problem.targets.reshape(s, -1),
-            anchor_positions[:, 1:].reshape(s, -1),
-        ],
-        axis=-1,
-    ).astype(jnp.float32)
+    parts = [
+        root_r.reshape(s, 9),
+        jnp.broadcast_to(problem.origin, (s, 3)),
+        anchor_angles,
+        problem.targets.reshape(s, -1),
+        anchor_positions[:, 1:].reshape(s, -1),
+    ]
+    if use_orientation:
+        if problem.target_rot is None:
+            raise ValueError("use_orientation requires problem.target_rot")
+        parts.append(euler_xyz_to_matrix(problem.target_rot).reshape(s, -1))
+    return jnp.concatenate(parts, axis=-1).astype(jnp.float32)
 
 
 def fused_fitness(
@@ -334,6 +361,7 @@ def fused_fitness(
     num_obstacles: int = 0,
     use_distance_term: bool = False,
     gizmo_size: float = 0.2,
+    use_orientation: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the kernel. ``x_dp``: (S, D, P) angles; returns (S, P)."""
@@ -342,7 +370,8 @@ def fused_fitness(
         raise ValueError(f"P={p} must be a multiple of {TILE_P} for the fused kernel")
     tiles = p // TILE_P
     x4 = x_dp.reshape(s, d, p // LANES, LANES)
-    kernel = _build_kernel(spec, num_obstacles, use_distance_term, gizmo_size)
+    kernel = _build_kernel(spec, num_obstacles, use_distance_term, gizmo_size,
+                           use_orientation)
 
     m = meta.shape[-1]
     k = swarm.shape[-1]
@@ -395,12 +424,17 @@ def make_pallas_fitness(
     """
     anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
     anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
-    meta = _pack_meta(spec, fit, obstacles)
-    swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions)
-    num_obstacles = 0 if obstacles is None else obstacles.count
-    # The distance term participates only if its weight can be nonzero;
-    # it is a compile-time choice like everything else in the config.
+    # Both optional terms are compile-time choices, like everything
+    # else in the config.
     use_distance = float(np.asarray(fit.distance_weight)) != 0.0
+    use_orientation = (
+        problem.target_rot is not None
+        and float(np.asarray(fit.orientation_weight)) != 0.0
+    )
+    meta = _pack_meta(spec, fit, obstacles, use_orientation)
+    swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions,
+                        use_orientation)
+    num_obstacles = 0 if obstacles is None else obstacles.count
 
     def fitness_fn(x: jnp.ndarray) -> jnp.ndarray:
         x_dp = jnp.swapaxes(x, -1, -2)  # (S, D, P)
@@ -412,6 +446,7 @@ def make_pallas_fitness(
             num_obstacles=num_obstacles,
             use_distance_term=use_distance,
             gizmo_size=fit.gizmo_size,
+            use_orientation=use_orientation,
             interpret=interpret,
         )
 

@@ -75,6 +75,7 @@ def _build_solver_kernel(
     num_obstacles: int,
     rows: int,
     debug_uniforms: bool = False,
+    use_orientation: bool = False,
 ):
     """Kernel: one grid step = one swarm's complete PSO solve.
 
@@ -130,6 +131,7 @@ def _build_solver_kernel(
                 num_obstacles=num_obstacles,
                 use_distance_term=use_distance,
                 gizmo_size=fit.gizmo_size,
+                use_orientation=use_orientation,
             )
 
         # Joint-limit clamp bounds, (D*rows, LANES) broadcast rows.
@@ -235,6 +237,7 @@ def fused_solve_raw(
     num_obstacles: int,
     interpret: bool = False,
     uniforms: Optional[jnp.ndarray] = None,
+    use_orientation: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full-solve kernel. Returns (gbest (S, D), gbest_val (S,)).
 
@@ -250,7 +253,8 @@ def fused_solve_raw(
     s = swarm.shape[0]
     d = spec.dof
     kernel = _build_solver_kernel(
-        spec, pso, fit, num_obstacles, rows, debug_uniforms=uniforms is not None
+        spec, pso, fit, num_obstacles, rows,
+        debug_uniforms=uniforms is not None, use_orientation=use_orientation,
     )
 
     n = spec.num_nodes
@@ -308,21 +312,25 @@ def make_fused_solver(
     gbest fitness).
     """
     num_obstacles = 0 if obstacles is None else obstacles.count
-    meta = _pack_meta(spec, fit, obstacles)
+    use_orientation_w = float(np.asarray(fit.orientation_weight)) != 0.0
     limits = jnp.stack(
         [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]
     )
 
     @jax.jit
     def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
+        use_orientation = use_orientation_w and problem.target_rot is not None
+        meta = _pack_meta(spec, fit, obstacles, use_orientation)
         anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
         anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
-        swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions)
+        swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions,
+                            use_orientation)
         s = swarm.shape[0]
         seeds = jax.random.bits(key, (s, 2), dtype=jnp.uint32).astype(jnp.int32)
         gbest, gbest_val = fused_solve_raw(
             spec, pso, fit, meta, swarm, limits, seeds,
             num_particles, num_obstacles, interpret=interpret,
+            use_orientation=use_orientation,
         )
         solved_pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], gbest)
         err = true_effector_error(spec, solved_pose, problem)

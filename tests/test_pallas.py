@@ -95,3 +95,19 @@ def test_solver_with_pallas_fitness_converges():
         fitness_fn=fitness_fn,
     )
     assert float(res.effector_error[0]) < 5e-2
+
+
+def test_kernel_orientation_matches_jnp(rng):
+    spec, problem = library.arm_6dof()
+    assert problem.target_rot is not None
+    batched = _batched(problem, 2)
+    batched = batched.replace(
+        target_rot=jnp.broadcast_to(
+            problem.target_rot, (2,) + problem.target_rot.shape
+        )
+    )
+    cfg = FitnessConfig(angle_weight=1.0, orientation_weight=0.5)
+    x = _x(rng, 2, TILE_P, spec.dof, lo=-np.pi, hi=np.pi)
+    ref = np.asarray(fitness(spec, x, batched, config=cfg))
+    got = np.asarray(make_pallas_fitness(spec, batched, fit=cfg, interpret=True)(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
