@@ -81,6 +81,7 @@ def frames_to_converge(
     trials: int = 32,
     diagnostics: Optional[DiagnosticsWriter] = None,
     impl: str = "jnp",
+    validate: bool = True,
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -131,6 +132,10 @@ def frames_to_converge(
         key, sub = jax.random.split(key)
         res = solver(current, sub)
         n_solves += 1
+        if validate:
+            from ikpso_tpu.utils.guards import check_solve_result
+
+            check_solve_result(res, context=f"frame {frame}")
         err = np.asarray(res.effector_error)
         final_error = np.where(done, final_error, err)
 

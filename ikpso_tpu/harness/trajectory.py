@@ -101,6 +101,9 @@ def solve_waypoints(
         batch = batched_problem(problem, jnp.asarray(chunk))
         run_key, sub = jax.random.split(run_key)
         res = solver(batch, sub)
+        from ikpso_tpu.utils.guards import check_solve_result
+
+        check_solve_result(res, context=f"waypoints {cursor}:{end}")
         n = end - cursor
         state.angles[cursor:end] = np.asarray(res.angles)[:n]
         state.errors[cursor:end] = np.asarray(res.effector_error)[:n]
