@@ -88,7 +88,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--swarms", type=int, default=4096)
+    parser.add_argument("--swarms", type=int, default=16384)
     parser.add_argument("--particles", type=int, default=1024)
     parser.add_argument(
         "--iterations",

@@ -26,7 +26,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -32,7 +32,6 @@ vectors.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -31,7 +31,6 @@ jit; SURVEY.md §7 "static shapes").
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -92,20 +91,6 @@ def _build_solver_kernel(
     c1 = np.float32(pso.cognitive)
     c2 = np.float32(pso.social)
     vscale = np.float32(pso.init_velocity_scale)
-
-    def fitness_of(x):
-        return fk_fitness_tile(
-            spec,
-            lambda dd: x[dd * rows:(dd + 1) * rows],
-            lambda i: None,  # replaced below (needs refs)
-            lambda i: None,
-            tile,
-            num_obstacles=num_obstacles,
-            use_distance_term=use_distance,
-            gizmo_size=fit.gizmo_size,
-        )
-
-    del fitness_of  # bound properly inside the kernel where refs exist
 
     def kernel(meta_ref, swarm_ref, limits_ref, seed_ref, *rest):
         if debug_uniforms:
@@ -168,19 +153,29 @@ def _build_solver_kernel(
         )
 
         def gbest_tiles(lbest, lbest_val):
-            """Broadcast tiles of the current global best's coords."""
+            """Broadcast tiles of the current global best's coords.
+
+            Per-DOF masked scalar reductions (the winner mask selects
+            exactly one particle). NB: a single fused (d, rows, LANES)
+            multi-axis reduction looks cheaper but crashes Mosaic's
+            layout assignment (layout.h rank check on the (d,1,1)
+            intermediate); the scalar form compiles cleanly.
+            """
             m = jnp.min(lbest_val)
             winner_id = jnp.min(jnp.where(lbest_val == m, pid, _BIG_I32))
             mask = (pid == winner_id).astype(jnp.float32)
-            return m, [
-                jnp.full(tile, jnp.sum(lbest[dd * rows:(dd + 1) * rows] * mask))
-                for dd in range(d)
-            ]
+            gb = jnp.concatenate(
+                [
+                    jnp.full(tile, jnp.sum(lbest[dd * rows:(dd + 1) * rows] * mask))
+                    for dd in range(d)
+                ],
+                axis=0,
+            )
+            return m, gb
 
         def body(it, carry):
             x, v, lbest, lbest_val = carry
             _, gb = gbest_tiles(lbest, lbest_val)
-            gb = jnp.concatenate(gb, axis=0)
             if debug_uniforms:
                 base = 1 + it * draws_per_iter
                 u_c = draw(base)
@@ -219,7 +214,7 @@ def _build_solver_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         acc = jnp.where(lane == d, gval, 0.0)
         for dd in range(d):
-            acc = jnp.where(lane == dd, gb[dd][0, 0], acc)
+            acc = jnp.where(lane == dd, gb[dd * rows, 0], acc)
         out_ref[0] = acc
 
     return kernel
@@ -289,6 +284,11 @@ def fused_solve_raw(
             flops=flops_pp * s * num_particles,
             bytes_accessed=s * (swarm.shape[-1] + LANES) * 4,
             transcendentals=2 * d * s * num_particles * (pso.iterations + 1),
+        ),
+        # Swarms are independent: declare the grid axis parallel so
+        # Mosaic can split grid steps across the chip's TensorCores.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(*args)
