@@ -54,7 +54,15 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     ]
     batched = batched_problem(problem, targets)
 
-    pso = PSOConfig(iterations=iterations, inertia_mode=inertia_mode)
+    if inertia_mode == "canonical":
+        pso = PSOConfig(
+            iterations=iterations,
+            inertia_mode="canonical",
+            inertia=0.5,
+            inertia_end=0.2,
+        )
+    else:
+        pso = PSOConfig(iterations=iterations, inertia_mode=inertia_mode)
     fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
 
     if impl == "fused":
@@ -105,6 +113,12 @@ def main() -> int:
     parser.add_argument(
         "--impl", choices=("auto", "jnp", "pallas", "fused"), default="auto"
     )
+    parser.add_argument(
+        "--model",
+        choices=("arm_7dof", "planar_3dof", "arm_6dof", "dual_arm_14dof", "reference_arm"),
+        default="arm_7dof",
+        help="BASELINE.md config to benchmark (headline: arm_7dof)",
+    )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
 
@@ -118,15 +132,16 @@ def main() -> int:
     impl = args.impl
     if impl == "auto":
         impl = "fused" if platform == "tpu" else "jnp"
-    # Canonical inertia converges much tighter (p90 0.19mm vs 22mm at
-    # 60 iters), letting the fused path hit 100% <1mm in 25 iterations;
-    # the randomized mode stays available for reference-parity runs.
+    # Canonical inertia with a 0.5 -> 0.2 decay converges much tighter
+    # than the reference's randomized mode (p90 0.07mm vs 22mm) and in
+    # fewer iterations (20 vs 60); randomized stays available for
+    # reference-parity runs.
     inertia_mode = args.inertia_mode or ("canonical" if impl == "fused" else "randomized")
-    iterations = args.iterations or (25 if inertia_mode == "canonical" else 60)
+    iterations = args.iterations or (20 if inertia_mode == "canonical" else 60)
 
-    from ikpso_tpu.models.library import arm_7dof
+    from ikpso_tpu.models import library
 
-    spec, problem = arm_7dof()
+    spec, problem = getattr(library, args.model)()
     stats = _target_p50_under_1mm(
         spec,
         problem,
@@ -138,8 +153,13 @@ def main() -> int:
         inertia_mode=inertia_mode,
     )
     value = stats["solves_per_s"]
+    metric = (
+        "7dof_ik_solves_per_s_per_chip"
+        if args.model == "arm_7dof"
+        else f"{args.model}_ik_solves_per_s_per_chip"
+    )
     record = {
-        "metric": "7dof_ik_solves_per_s_per_chip",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(value / BASELINE_SOLVES_PER_S_PER_CHIP, 4),

@@ -41,7 +41,21 @@ class PSOConfig:
         default="randomized", metadata=dict(static=True)
     )
     init_velocity_scale: float = 1.0
+    # Optional linear inertia schedule (canonical mode only): the
+    # inertia decays from ``inertia`` to ``inertia_end`` over the run —
+    # the classic explore-then-exploit PSO schedule the reference lacks.
+    inertia_end: float = dataclasses.field(default=-1.0, metadata=dict(static=True))
 
     def __post_init__(self):
         if self.inertia_mode not in ("randomized", "canonical"):
             raise ValueError(f"unknown inertia_mode: {self.inertia_mode!r}")
+        if self.inertia_end >= 0.0 and self.inertia_mode != "canonical":
+            raise ValueError("inertia_end requires inertia_mode='canonical'")
+
+    def inertia_at(self, iteration):
+        """Inertia coefficient for a (possibly traced) iteration index."""
+        if self.inertia_end < 0.0:
+            return self.inertia
+        span = float(max(self.iterations - 1, 1))
+        frac = iteration / span
+        return self.inertia + (self.inertia_end - self.inertia) * frac

@@ -185,10 +185,11 @@ def _build_solver_kernel(
                 u_c = draw(None)
                 u_s = draw(None)
                 u_w = draw(None) if randomized else None
+            w_t = pso.inertia_at(it) if pso.inertia_end >= 0.0 else w
             if randomized:
-                v = w * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
+                v = w_t * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
             else:
-                v = w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
+                v = w_t * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
             # Integrate + per-axis joint-limit clamp (kernel.cu:168-187).
             x = jnp.clip(x + v, lo, hi)
             f = fitness_of(x)

@@ -94,6 +94,7 @@ def pso_iteration(
     hi: jnp.ndarray,
     pso: PSOConfig,
     gbest_reduce: Optional[GbestReduce] = None,
+    iteration=0,
 ):
     """One PSO step over the full (S, P, D) state. Pure; scan body."""
     shape = x.shape
@@ -108,7 +109,7 @@ def pso_iteration(
         u_c, u_s = u[0], u[1]
 
     v = (
-        pso.inertia * u_w * v
+        pso.inertia_at(iteration) * u_w * v
         + pso.cognitive * u_c * (lbest - x)
         + pso.social * u_s * (gbest[:, None, :] - x)
     )
@@ -227,17 +228,18 @@ def solve(
         )
     state = (x0, v0, lbest0, lbest_val0, gbest0, gbest_val0)
 
-    def body(carry, it_key):
+    def body(carry, inputs):
+        it_key, it = inputs
         x, v, lbest, lbest_val, gbest, gbest_val = carry
         new = pso_iteration(
             x, v, lbest, lbest_val, gbest, gbest_val,
-            it_key, fitness_fn, lo, hi, pso, gbest_reduce,
+            it_key, fitness_fn, lo, hi, pso, gbest_reduce, iteration=it,
         )
         return new, new[5]  # trace gbest_val
 
     it_keys = jax.random.split(key_loop, pso.iterations)
     (x, v, lbest, lbest_val, gbest, gbest_val), trace = jax.lax.scan(
-        body, state, it_keys
+        body, state, (it_keys, jnp.arange(pso.iterations))
     )
     trace = jnp.concatenate([state[5][None], trace], axis=0)
 

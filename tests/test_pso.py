@@ -158,3 +158,30 @@ def test_orientation_target_solving():
 def test_invalid_inertia_mode_raises():
     with pytest.raises(ValueError):
         PSOConfig(inertia_mode="bogus")
+
+
+def test_inertia_schedule_requires_canonical():
+    import pytest
+
+    with pytest.raises(ValueError):
+        PSOConfig(inertia_mode="randomized", inertia_end=0.2)
+
+
+def test_inertia_schedule_converges():
+    spec, problem = library.planar_3dof(target=(1.5, 1.5, 0.0))
+    problems = library.batched_problem(problem, problem.targets[None])
+    res = solve(
+        spec,
+        problems,
+        jax.random.key(0),
+        pso=PSOConfig(
+            iterations=40, inertia_mode="canonical", inertia=0.6, inertia_end=0.2
+        ),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=256,
+    )
+    assert float(res.effector_error[0]) < 5e-2
+    # Schedule endpoints: inertia_at spans [inertia, inertia_end].
+    pso = PSOConfig(iterations=11, inertia_mode="canonical", inertia=0.6, inertia_end=0.2)
+    assert abs(float(pso.inertia_at(0)) - 0.6) < 1e-6
+    assert abs(float(pso.inertia_at(10)) - 0.2) < 1e-6
