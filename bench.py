@@ -12,7 +12,7 @@ Prints ONE JSON line:
 Protocol: S reachable targets are sampled by FK of random in-limit
 joint angles (guaranteed solvable); one batched PSO solve (warm start
 from the canonical pose) must bring the p50 true Euclidean effector
-error under 1mm. Wall time is best-of-N of the donated, jitted solve;
+error under 1mm. Wall time is best-of-N of the jitted solve;
 solves/s = S / wall.
 """
 

@@ -30,7 +30,6 @@ arrays to allocate or carry.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -274,7 +273,6 @@ def make_solver(
     num_particles: int = 1024,
     fitness_fn: Optional[FitnessFn] = None,
     gbest_reduce: Optional[GbestReduce] = None,
-    donate: bool = True,
 ):
     """A jitted ``(problem, key) -> SolveResult`` closure.
 
@@ -283,7 +281,7 @@ def make_solver(
     reference's compile-time ``DEGREES_OF_FREEDOM`` (ik_constants.h:2).
     """
 
-    @functools.partial(jax.jit, donate_argnums=() if not donate else ())
+    @jax.jit
     def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
         return solve(
             spec,
