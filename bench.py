@@ -120,6 +120,12 @@ def main() -> int:
         help="BASELINE.md config to benchmark (headline: arm_7dof)",
     )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="LOGDIR",
+        help="capture a jax.profiler trace of the measured solves",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -140,18 +146,20 @@ def main() -> int:
     iterations = args.iterations or (20 if inertia_mode == "canonical" else 60)
 
     from ikpso_tpu.models import library
+    from ikpso_tpu.utils.profiling import trace
 
     spec, problem = getattr(library, args.model)()
-    stats = _target_p50_under_1mm(
-        spec,
-        problem,
-        jax.random.key(0),
-        num_particles=args.particles,
-        iterations=iterations,
-        impl=impl,
-        s=args.swarms,
-        inertia_mode=inertia_mode,
-    )
+    with trace(args.profile):
+        stats = _target_p50_under_1mm(
+            spec,
+            problem,
+            jax.random.key(0),
+            num_particles=args.particles,
+            iterations=iterations,
+            impl=impl,
+            s=args.swarms,
+            inertia_mode=inertia_mode,
+        )
     value = stats["solves_per_s"]
     metric = (
         "7dof_ik_solves_per_s_per_chip"
