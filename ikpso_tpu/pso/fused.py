@@ -75,22 +75,35 @@ def _build_solver_kernel(
     rows: int,
     debug_uniforms: bool = False,
     use_orientation: bool = False,
+    swarms_per_tile: int = 1,
 ):
-    """Kernel: one grid step = one swarm's complete PSO solve.
+    """Kernel: one grid step = ``swarms_per_tile`` complete PSO solves.
 
-    Array layout: angles/velocities/lbest are ``(D * rows, LANES)``
-    with DOF d occupying rows ``[d*rows, (d+1)*rows)`` — every per-DOF
-    quantity is a native ``(rows, 128)`` VPU tile.
+    Array layout: angles/velocities/lbest are ``(D * R, LANES)`` with
+    DOF d occupying rows ``[d*R, (d+1)*R)`` and, within that block,
+    swarm band j occupying sublane rows ``[j*rows, (j+1)*rows)``
+    (``R = swarms_per_tile * rows``) — every per-DOF quantity is a
+    native VPU tile shared by all packed swarms.
+
+    Packing matters because small swarms converge *better* per
+    evaluation (P=256 @ 30 iters beats P=1024 @ 20 with 2.7x fewer
+    evals on the 7-DOF target set): the elementwise work (RNG, FK,
+    velocity update — the dominant cost) is amortized over the packed
+    swarms, while only the per-band masked reductions stay per-swarm.
     """
     d = spec.dof
+    sw_count = swarms_per_tile
+    R = sw_count * rows  # total sublane rows per DOF block
     use_distance = float(np.asarray(fit.distance_weight)) != 0.0
     randomized = pso.inertia_mode == "randomized"
     lay_anchor = 12  # MetaLayout.OFF_ANCHOR
-    tile = (rows, LANES)
+    tile = (R, LANES)
+    band = (rows, LANES)
     w = np.float32(pso.inertia)
     c1 = np.float32(pso.cognitive)
     c2 = np.float32(pso.social)
     vscale = np.float32(pso.init_velocity_scale)
+    INF = np.float32(np.inf)
 
     def kernel(meta_ref, swarm_ref, limits_ref, seed_ref, *rest):
         if debug_uniforms:
@@ -103,13 +116,28 @@ def _build_solver_kernel(
         def meta(i):
             return meta_ref[0, i]
 
+        def sw_scalar(j, i):
+            return swarm_ref[0, j, i]
+
+        # Per-swarm constants as per-band broadcast tiles (memoized;
+        # loop-invariant, so Mosaic hoists them out of the PSO loop).
+        _const_cache = {}
+
         def sw(i):
-            return swarm_ref[0, 0, i]
+            if i not in _const_cache:
+                if sw_count == 1:
+                    _const_cache[i] = sw_scalar(0, i)
+                else:
+                    _const_cache[i] = jnp.concatenate(
+                        [jnp.full(band, sw_scalar(j, i)) for j in range(sw_count)],
+                        axis=0,
+                    )
+            return _const_cache[i]
 
         def fitness_of(x):
             return fk_fitness_tile(
                 spec,
-                lambda dd: x[dd * rows:(dd + 1) * rows],
+                lambda dd: x[dd * R:(dd + 1) * R],
                 meta,
                 sw,
                 tile,
@@ -119,7 +147,7 @@ def _build_solver_kernel(
                 use_orientation=use_orientation,
             )
 
-        # Joint-limit clamp bounds, (D*rows, LANES) broadcast rows.
+        # Joint-limit clamp bounds, (D*R, LANES) broadcast rows.
         lo = jnp.concatenate(
             [jnp.full(tile, limits_ref[0, dd]) for dd in range(d)], axis=0
         )
@@ -127,11 +155,11 @@ def _build_solver_kernel(
             [jnp.full(tile, limits_ref[1, dd]) for dd in range(d)], axis=0
         )
 
-        # Warm start: every particle AT the anchor pose; diversity from
-        # uniform velocities (reference initParticlesKernel,
-        # kernel.cu:223-266 / SURVEY.md §2.3 step 1).
+        # Warm start: every particle AT its swarm's anchor pose;
+        # diversity from uniform velocities (reference
+        # initParticlesKernel, kernel.cu:223-266 / SURVEY.md §2.3).
         x0 = jnp.concatenate(
-            [jnp.full(tile, sw(lay_anchor + dd)) for dd in range(d)], axis=0
+            [jnp.broadcast_to(sw(lay_anchor + dd), tile) for dd in range(d)], axis=0
         )
         if debug_uniforms:
             draws_per_iter = 3 if randomized else 2
@@ -140,38 +168,57 @@ def _build_solver_kernel(
                 return u_ref[0, slot]
         else:
             def draw(_slot):
-                return _uniform((d * rows, LANES))
+                return _uniform((d * R, LANES))
 
         v0 = (draw(0) * 2.0 - 1.0) * vscale
         lbest_val0 = fitness_of(x0)
 
-        # Linear particle ids for deterministic argmin tie-breaking
-        # (thrust::min_element's first-minimum semantics).
-        pid = (
-            jax.lax.broadcasted_iota(jnp.int32, tile, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, tile, 1)
-        )
+        # Band id + in-band particle ids for the per-swarm masked
+        # argmin (thrust::min_element's first-minimum semantics).
+        row_id = jax.lax.broadcasted_iota(jnp.int32, tile, 0)
+        pid = (row_id % rows) * LANES + jax.lax.broadcasted_iota(jnp.int32, tile, 1)
+        band_of = row_id // rows
+        band_masks = [band_of == j for j in range(sw_count)]
 
         def gbest_tiles(lbest, lbest_val):
-            """Broadcast tiles of the current global best's coords.
+            """Per-band broadcast tiles of each swarm's global best.
 
-            Per-DOF masked scalar reductions (the winner mask selects
-            exactly one particle). NB: a single fused (d, rows, LANES)
-            multi-axis reduction looks cheaper but crashes Mosaic's
-            layout assignment (layout.h rank check on the (d,1,1)
+            Masked scalar reductions per band. NB: a fused
+            (d, R, LANES) multi-axis reduction crashes Mosaic's layout
+            assignment (layout.h rank check on the (d,1,1)
             intermediate); the scalar form compiles cleanly.
             """
-            m = jnp.min(lbest_val)
-            winner_id = jnp.min(jnp.where(lbest_val == m, pid, _BIG_I32))
-            mask = (pid == winner_id).astype(jnp.float32)
+            ms = []
+            masks = []
+            for j in range(sw_count):
+                bm = band_masks[j]
+                m_j = jnp.min(jnp.where(bm, lbest_val, INF))
+                win_j = jnp.min(
+                    jnp.where(bm & (lbest_val == m_j), pid, _BIG_I32)
+                )
+                masks.append((bm & (pid == win_j)).astype(jnp.float32))
+                ms.append(m_j)
             gb = jnp.concatenate(
                 [
-                    jnp.full(tile, jnp.sum(lbest[dd * rows:(dd + 1) * rows] * mask))
+                    jnp.concatenate(
+                        [
+                            jnp.full(
+                                band,
+                                jnp.sum(lbest[dd * R:(dd + 1) * R] * masks[j]),
+                            )
+                            for j in range(sw_count)
+                        ],
+                        axis=0,
+                    )
+                    if sw_count > 1
+                    else jnp.full(
+                        tile, jnp.sum(lbest[dd * R:(dd + 1) * R] * masks[0])
+                    )
                     for dd in range(d)
                 ],
                 axis=0,
             )
-            return m, gb
+            return ms, gb
 
         def body(it, carry):
             x, v, lbest, lbest_val = carry
@@ -210,13 +257,17 @@ def _build_solver_kernel(
                 0, pso.iterations, body, (x0, v0, x0, lbest_val0)
             )
 
-        gval, gb = gbest_tiles(lbest, lbest_val)
-        # Result row: lanes [0, D) = gbest angles, lane D = gbest value.
+        gvals, gb = gbest_tiles(lbest, lbest_val)
+        # Result row per swarm: lanes [0, D) = gbest angles, lane D =
+        # gbest value.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        acc = jnp.where(lane == d, gval, 0.0)
-        for dd in range(d):
-            acc = jnp.where(lane == dd, gb[dd * rows, 0], acc)
-        out_ref[0] = acc
+        out_rows = []
+        for j in range(sw_count):
+            acc = jnp.where(lane == d, gvals[j], 0.0)
+            for dd in range(d):
+                acc = jnp.where(lane == dd, gb[dd * R + j * rows, 0], acc)
+            out_rows.append(acc)
+        out_ref[0] = jnp.concatenate(out_rows, axis=0)
 
     return kernel
 
@@ -234,41 +285,57 @@ def fused_solve_raw(
     interpret: bool = False,
     uniforms: Optional[jnp.ndarray] = None,
     use_orientation: bool = False,
+    swarms_per_tile: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full-solve kernel. Returns (gbest (S, D), gbest_val (S,)).
 
-    ``uniforms`` (testing only): ``(S, n_draws, D*rows, LANES)`` — inject
+    ``uniforms`` (testing only): ``(S/SW, n_draws, D*R, LANES)`` — inject
     the random stream instead of the on-core PRNG, so the kernel's
     trajectory can be replayed bit-for-bit by a jnp reference.
     """
     if num_particles % LANES:
         raise ValueError(f"num_particles must be a multiple of {LANES}")
+    sw_count = swarms_per_tile
     rows = num_particles // LANES
-    if rows < 8:
-        raise ValueError("fused solver needs num_particles >= 1024 (8 sublanes)")
+    total_rows = sw_count * rows
+    if total_rows < 8:
+        raise ValueError(
+            f"swarms_per_tile * (num_particles/128) must be >= 8 sublanes; "
+            f"got {sw_count} * {rows}"
+        )
     s = swarm.shape[0]
+    if s % sw_count:
+        raise ValueError(f"swarm count {s} not divisible by swarms_per_tile={sw_count}")
+    grid_n = s // sw_count
     d = spec.dof
     kernel = _build_solver_kernel(
         spec, pso, fit, num_obstacles, rows,
         debug_uniforms=uniforms is not None, use_orientation=use_orientation,
+        swarms_per_tile=sw_count,
     )
 
     n = spec.num_nodes
     flops_pp = ((n - 1) * 140 + d * 12) * (pso.iterations + 1)
+    k = swarm.shape[-1]
     in_specs = [
         pl.BlockSpec((1, meta.shape[-1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, swarm.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, sw_count, k), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        # (S, 1, 2) so the trailing block dims equal the array dims
+        # (G, 1, 2) so the trailing block dims equal the array dims
         # (TPU block-shape divisibility rule).
         pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
     ]
-    args = [meta, swarm[:, None, :], limits, seeds[:, None, :]]
+    args = [
+        meta,
+        swarm.reshape(grid_n, sw_count, k),
+        limits,
+        seeds[::sw_count][:, None, :],
+    ]
     if uniforms is not None:
         nd = uniforms.shape[1]
         in_specs.append(
             pl.BlockSpec(
-                (1, nd, d * rows, LANES),
+                (1, nd, d * total_rows, LANES),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -276,14 +343,16 @@ def fused_solve_raw(
         args.append(uniforms)
     out = pl.pallas_call(
         kernel,
-        grid=(s,),
+        grid=(grid_n,),
         in_specs=in_specs,
-        # (S, 1, LANES): trailing block dims must equal the array dims.
-        out_specs=pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, 1, LANES), jnp.float32),
+        # Trailing block dims must equal the array dims.
+        out_specs=pl.BlockSpec(
+            (1, sw_count, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid_n, sw_count, LANES), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops_pp * s * num_particles,
-            bytes_accessed=s * (swarm.shape[-1] + LANES) * 4,
+            bytes_accessed=s * (k + LANES) * 4,
             transcendentals=2 * d * s * num_particles * (pso.iterations + 1),
         ),
         # Swarms are independent: declare the grid axis parallel so
@@ -293,7 +362,7 @@ def fused_solve_raw(
         ),
         interpret=interpret,
     )(*args)
-    out = out[:, 0, :]
+    out = out.reshape(s, LANES)
     return out[:, :d], out[:, d]
 
 
@@ -304,6 +373,7 @@ def make_fused_solver(
     obstacles: Optional[Obstacles] = None,
     num_particles: int = 1024,
     interpret: bool = False,
+    swarms_per_tile: int = 1,
 ):
     """A jitted ``(problem, key) -> SolveResult`` running the megakernel.
 
@@ -331,7 +401,7 @@ def make_fused_solver(
         gbest, gbest_val = fused_solve_raw(
             spec, pso, fit, meta, swarm, limits, seeds,
             num_particles, num_obstacles, interpret=interpret,
-            use_orientation=use_orientation,
+            use_orientation=use_orientation, swarms_per_tile=swarms_per_tile,
         )
         solved_pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], gbest)
         err = true_effector_error(spec, solved_pose, problem)
