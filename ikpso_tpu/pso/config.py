@@ -45,6 +45,13 @@ class PSOConfig:
     # inertia decays from ``inertia`` to ``inertia_end`` over the run —
     # the classic explore-then-exploit PSO schedule the reference lacks.
     inertia_end: float = dataclasses.field(default=-1.0, metadata=dict(static=True))
+    # Recompute the swarm's global best every K iterations instead of
+    # every iteration (async-PSO relaxation: the social attractor lags
+    # by at most K-1 steps; local bests still update every step).
+    # Measured on TPU: K=2 degrades the warm-start solve badly
+    # (71.5% vs 98.8% under 1mm) for only ~1.3x kernel speedup — keep
+    # the default 1 unless the workload tolerates loose convergence.
+    gbest_interval: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     def __post_init__(self):
         if self.inertia_mode not in ("randomized", "canonical"):

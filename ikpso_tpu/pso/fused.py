@@ -220,41 +220,53 @@ def _build_solver_kernel(
             )
             return ms, gb
 
-        def body(it, carry):
+        interval = max(1, pso.gbest_interval)
+        if pso.iterations % interval:
+            raise ValueError(
+                f"iterations={pso.iterations} must be a multiple of "
+                f"gbest_interval={interval}"
+            )
+
+        def body(it_outer, carry):
             x, v, lbest, lbest_val = carry
+            # One gbest extraction serves `interval` sub-steps (the
+            # social attractor lags <= interval-1 steps).
             _, gb = gbest_tiles(lbest, lbest_val)
-            if debug_uniforms:
-                base = 1 + it * draws_per_iter
-                u_c = draw(base)
-                u_s = draw(base + 1)
-                u_w = draw(base + 2) if randomized else None
-            else:
-                u_c = draw(None)
-                u_s = draw(None)
-                u_w = draw(None) if randomized else None
-            w_t = pso.inertia_at(it) if pso.inertia_end >= 0.0 else w
-            if randomized:
-                v = w_t * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
-            else:
-                v = w_t * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
-            # Integrate + per-axis joint-limit clamp (kernel.cu:168-187).
-            x = jnp.clip(x + v, lo, hi)
-            f = fitness_of(x)
-            better = f < lbest_val
-            lbest_val = jnp.where(better, f, lbest_val)
-            bmask = jnp.concatenate([better] * d, axis=0)
-            lbest = jnp.where(bmask, x, lbest)
+            for sub in range(interval):  # static unroll
+                it = it_outer * interval + sub
+                if debug_uniforms:
+                    base = 1 + it * draws_per_iter
+                    u_c = draw(base)
+                    u_s = draw(base + 1)
+                    u_w = draw(base + 2) if randomized else None
+                else:
+                    u_c = draw(None)
+                    u_s = draw(None)
+                    u_w = draw(None) if randomized else None
+                w_t = pso.inertia_at(it) if pso.inertia_end >= 0.0 else w
+                if randomized:
+                    v = w_t * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
+                else:
+                    v = w_t * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
+                # Integrate + per-axis joint-limit clamp (kernel.cu:168-187).
+                x = jnp.clip(x + v, lo, hi)
+                f = fitness_of(x)
+                better = f < lbest_val
+                lbest_val = jnp.where(better, f, lbest_val)
+                bmask = jnp.concatenate([better] * d, axis=0)
+                lbest = jnp.where(bmask, x, lbest)
             return x, v, lbest, lbest_val
 
+        outer = pso.iterations // interval
         if debug_uniforms:
             # Static unroll so the debug-uniform slots index statically.
             carry = (x0, v0, x0, lbest_val0)
-            for it in range(pso.iterations):
-                carry = body(it, carry)
+            for it_outer in range(outer):
+                carry = body(it_outer, carry)
             x, v, lbest, lbest_val = carry
         else:
             x, v, lbest, lbest_val = jax.lax.fori_loop(
-                0, pso.iterations, body, (x0, v0, x0, lbest_val0)
+                0, outer, body, (x0, v0, x0, lbest_val0)
             )
 
         gvals, gb = gbest_tiles(lbest, lbest_val)
