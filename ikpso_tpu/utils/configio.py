@@ -144,6 +144,9 @@ def dump_config(cfg: RunConfig) -> str:
             "social": float(cfg.pso.social),
             "iterations": cfg.pso.iterations,
             "inertia_mode": cfg.pso.inertia_mode,
+            "init_velocity_scale": float(cfg.pso.init_velocity_scale),
+            "inertia_end": float(cfg.pso.inertia_end),
+            "gbest_interval": cfg.pso.gbest_interval,
         },
         "fitness": {
             "angle_weight": float(cfg.fitness.angle_weight),

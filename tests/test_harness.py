@@ -181,3 +181,24 @@ def test_configio_rejects_unknown_keys():
         load_config({"model": "planar_3dof", "pso": {"bogus": 1}})
     with pytest.raises(ValueError):
         load_config({"model": "nope"})
+
+
+def test_configio_roundtrips_new_pso_fields():
+    from ikpso_tpu.utils.configio import dump_config, load_config
+
+    cfg = load_config(
+        {
+            "model": "planar_3dof",
+            "pso": {
+                "inertia_mode": "canonical",
+                "inertia": 0.6,
+                "inertia_end": 0.25,
+                "gbest_interval": 2,
+                "iterations": 10,
+            },
+        }
+    )
+    cfg2 = load_config(dump_config(cfg))
+    assert cfg2.pso.inertia_end == 0.25
+    assert cfg2.pso.gbest_interval == 2
+    assert cfg2.pso.inertia_mode == "canonical"
