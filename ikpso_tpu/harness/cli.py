@@ -48,7 +48,11 @@ def _pick_impl(args, cfg) -> str:
                 "(the megakernel uses the on-core PRNG); use --impl jnp on CPU"
             )
         return args.impl
-    return "fused" if on_tpu and cfg.num_particles % 1024 == 0 else "jnp"
+    # Auto picks fused only when the whole swarm state fits VMEM
+    # comfortably (3 state arrays x DOF x P x 4B per swarm; P > 4096
+    # at 21 DOF pushes past the ~16 MB/core budget).
+    fits = 1024 <= cfg.num_particles <= 4096 and cfg.num_particles % 1024 == 0
+    return "fused" if on_tpu and fits else "jnp"
 
 
 def _load(args):
