@@ -8,7 +8,9 @@ round-trips the swarm state ``(S, P, D)`` and fresh uniform draws
 through HBM every iteration.
 
 This module removes HBM from the loop entirely. One ``pallas_call``
-grid step owns one complete swarm:
+grid step owns one or more complete swarms (``swarms_per_tile`` packs
+several small swarms into each 8x128 register tile, amortizing the
+elementwise work — see docs/PERFORMANCE.md):
 
   * state (positions, velocities, local bests) lives in VMEM for the
     whole solve — per swarm at P=1024, D=21 that is 3 x 86 KB, far
