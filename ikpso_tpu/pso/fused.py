@@ -185,10 +185,16 @@ def _build_solver_kernel(
         def gbest_tiles(lbest, lbest_val):
             """Per-band broadcast tiles of each swarm's global best.
 
-            Masked scalar reductions per band. NB: a fused
+            The winner mask selects exactly one particle per band;
+            per-band masked scalar reductions on the VPU. Two
+            alternatives were measured and rejected: a fused
             (d, R, LANES) multi-axis reduction crashes Mosaic's layout
             assignment (layout.h rank check on the (d,1,1)
-            intermediate); the scalar form compiles cleanly.
+            intermediate), and routing the segmented sum+broadcast
+            through 0/1-matrix MXU matmuls gives zero speedup while
+            destroying convergence (the in-kernel f32 matmul rounds
+            through reduced-precision passes, mm-scale noise on the
+            social attractor).
             """
             ms = []
             masks = []
