@@ -148,6 +148,7 @@ def cmd_experiment(args) -> int:
         trials=args.trials,
         diagnostics=diag,
         impl=_pick_impl(args, cfg),
+        trial_batch=args.trial_batch,
     )
     if diag:
         diag.close()
@@ -216,6 +217,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("experiment", help="frames-to-converge protocol")
     _add_common(p)
     p.add_argument("--trials", type=int, default=32)
+    p.add_argument(
+        "--trial-batch", type=int, default=32,
+        help="max trials solved as one parallel batch (memory cap)",
+    )
     p.add_argument("--eps", type=float, default=0.025)
     p.add_argument("--max-frames", type=int, default=300)
     p.add_argument("--outdir", default=None, help="diagnostics directory")

@@ -82,6 +82,7 @@ def frames_to_converge(
     diagnostics: Optional[DiagnosticsWriter] = None,
     impl: str = "jnp",
     validate: bool = True,
+    trial_batch: Optional[int] = None,
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -95,11 +96,43 @@ def frames_to_converge(
         deterministic stream instead, SURVEY.md §2.4.5).
       diagnostics: optional 4-stream writer; logs trial 0's frames,
         matching the reference's single-run logging.
+      trial_batch: cap on trials run as parallel swarms at once. A
+        (trials, P, D) jnp swarm state OOMs a single chip past ~32
+        trials at the reference's 16384x21 shape, so larger counts run
+        as sequential batches (independent RNG streams) and merge —
+        per-trial statistics are unaffected (trials never interact).
 
     Returns:
       ExperimentResult with per-trial frame counts (a trial's count is
       the number of solves until its error first reaches ``eps_dist``).
     """
+    if trial_batch is not None and trials > trial_batch:
+        chunks = []
+        remaining = trials
+        while remaining > 0:
+            n = min(remaining, trial_batch)
+            key, sub = jax.random.split(key)
+            chunks.append(
+                frames_to_converge(
+                    spec, problem, reset_targets, sub,
+                    pso=pso, fit=fit, obstacles=obstacles,
+                    num_particles=num_particles, eps_dist=eps_dist,
+                    max_frames=max_frames, trials=n,
+                    # Reference-style single-run logging: first batch only.
+                    diagnostics=diagnostics if not chunks else None,
+                    impl=impl, validate=validate,
+                )
+            )
+            remaining -= n
+        wall = sum(c.wall_time_s for c in chunks)
+        total = sum(c.solves_per_second * c.wall_time_s for c in chunks)
+        return ExperimentResult(
+            frames=np.concatenate([c.frames for c in chunks]),
+            final_error=np.concatenate([c.final_error for c in chunks]),
+            solves_per_second=total / wall if wall > 0 else float("inf"),
+            wall_time_s=wall,
+        )
+
     targets = jnp.broadcast_to(
         jnp.asarray(reset_targets, jnp.float32)[None],
         (trials,) + tuple(np.shape(reset_targets)),
@@ -176,9 +209,14 @@ def run_reference_experiment(
     eps_dist: float = 0.025,
     max_frames: int = 300,
     diagnostics: Optional[DiagnosticsWriter] = None,
+    trial_batch: int = 32,
 ) -> ExperimentResult:
     """The exact shipped-code experiment: 21-DOF arm, 16384 particles,
-    15 randomized-inertia iterations, angle_weight 3.0, eps 0.025."""
+    15 randomized-inertia iterations, angle_weight 3.0, eps 0.025.
+
+    ``trial_batch`` bounds how many trials run as parallel swarms at
+    once (see :func:`frames_to_converge`).
+    """
     from ikpso_tpu.models.library import reference_arm, reference_reset_targets
 
     if key is None:
@@ -196,4 +234,5 @@ def run_reference_experiment(
         max_frames=max_frames,
         trials=trials,
         diagnostics=diagnostics,
+        trial_batch=trial_batch,
     )

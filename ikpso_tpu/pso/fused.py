@@ -57,6 +57,33 @@ _INV_2_24 = np.float32(1.0 / (1 << 24))
 _BIG_I32 = np.int32(2**31 - 1)
 
 
+def _seg_rows_reduce(x, seg, op):
+    """Segmented reduce-broadcast over aligned axis-0 blocks of ``seg`` rows.
+
+    After the call, every row holds ``op``-reduction of its block —
+    the reduction AND the broadcast in one pass, with no scalar
+    extraction. Classic power-of-two ring-allreduce on the sublane
+    axis: at each step, rows combine with the row ``s`` positions back
+    *within their block* (cyclic), realized as two global
+    ``pltpu.roll``s + a block-parity select (rows whose in-block index
+    is < s must wrap to the block's tail, which the backward roll
+    provides; values that crossed a block boundary are discarded by
+    the select). ``seg`` must be a power of two and divide
+    ``x.shape[0]``; blocks are aligned at multiples of ``seg``.
+    """
+    if seg == 1:
+        return x
+    nrows = x.shape[0]
+    rid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % seg
+    s = 1
+    while s < seg:
+        fwd = pltpu.roll(x, shift=s, axis=0)
+        back = pltpu.roll(x, shift=(s - seg) % nrows, axis=0)
+        x = op(x, jnp.where(rid >= s, fwd, back))
+        s *= 2
+    return x
+
+
 def _uniform(shape):
     """U[0, 1) from the core PRNG: top 24 bits of each draw.
 
@@ -78,6 +105,7 @@ def _build_solver_kernel(
     debug_uniforms: bool = False,
     use_orientation: bool = False,
     swarms_per_tile: int = 1,
+    gbest_mode: str = "auto",
 ):
     """Kernel: one grid step = ``swarms_per_tile`` complete PSO solves.
 
@@ -185,9 +213,13 @@ def _build_solver_kernel(
         def gbest_tiles(lbest, lbest_val):
             """Per-band broadcast tiles of each swarm's global best.
 
-            The winner mask selects exactly one particle per band;
-            per-band masked scalar reductions on the VPU. Two
-            alternatives were measured and rejected: a fused
+            Scalar-reduction path: the winner mask selects exactly one
+            particle per band; per-band masked scalar reductions on
+            the VPU. The hot loop uses ``gbest_broadcast`` (segmented
+            roll trees, bitwise-identical results) instead; this path
+            remains for the final extraction — which needs the scalar
+            band minima anyway — and as the ``gbest_mode="scalar"``
+            oracle. Two other alternatives were measured and rejected: a fused
             (d, R, LANES) multi-axis reduction crashes Mosaic's layout
             assignment (layout.h rank check on the (d,1,1)
             intermediate), and routing the segmented sum+broadcast
@@ -228,6 +260,31 @@ def _build_solver_kernel(
             )
             return ms, gb
 
+        # Hot-loop gbest: segmented roll-tree reduce-broadcast — no
+        # scalar reductions at all. Bands partition the tile into
+        # aligned `rows`-row blocks, so the per-band min / winner-pid /
+        # coordinate-sum all reduce-broadcast in log2(rows) roll steps
+        # after a single cross-lane reduction each. Exactly equal
+        # (bitwise) to the scalar path: min/one-hot-sum are exact.
+        use_rolls = gbest_mode != "scalar" and rows & (rows - 1) == 0
+
+        def gbest_broadcast(lbest, lbest_val):
+            mcol = jnp.min(lbest_val, axis=1, keepdims=True)
+            m = _seg_rows_reduce(
+                jnp.broadcast_to(mcol, tile), rows, jnp.minimum
+            )
+            pm = jnp.where(lbest_val == m, pid, _BIG_I32)
+            wcol = jnp.min(pm, axis=1, keepdims=True)
+            win = _seg_rows_reduce(
+                jnp.broadcast_to(wcol, tile), rows, jnp.minimum
+            )
+            maskf = (pid == win).astype(jnp.float32)
+            maskd = jnp.concatenate([maskf] * d, axis=0)
+            scol = jnp.sum(lbest * maskd, axis=1, keepdims=True)
+            return _seg_rows_reduce(
+                jnp.broadcast_to(scol, (d * R, LANES)), rows, jnp.add
+            )
+
         interval = max(1, pso.gbest_interval)
         if pso.iterations % interval:
             raise ValueError(
@@ -239,7 +296,10 @@ def _build_solver_kernel(
             x, v, lbest, lbest_val = carry
             # One gbest extraction serves `interval` sub-steps (the
             # social attractor lags <= interval-1 steps).
-            _, gb = gbest_tiles(lbest, lbest_val)
+            if use_rolls:
+                gb = gbest_broadcast(lbest, lbest_val)
+            else:
+                _, gb = gbest_tiles(lbest, lbest_val)
             for sub in range(interval):  # static unroll
                 it = it_outer * interval + sub
                 if debug_uniforms:
@@ -306,6 +366,7 @@ def fused_solve_raw(
     uniforms: Optional[jnp.ndarray] = None,
     use_orientation: bool = False,
     swarms_per_tile: int = 1,
+    gbest_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full-solve kernel. Returns (gbest (S, D), gbest_val (S,)).
 
@@ -331,7 +392,7 @@ def fused_solve_raw(
     kernel = _build_solver_kernel(
         spec, pso, fit, num_obstacles, rows,
         debug_uniforms=uniforms is not None, use_orientation=use_orientation,
-        swarms_per_tile=sw_count,
+        swarms_per_tile=sw_count, gbest_mode=gbest_mode,
     )
 
     n = spec.num_nodes

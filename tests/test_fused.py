@@ -103,6 +103,62 @@ def test_rejects_bad_particle_counts():
         solver(_batched(problem, 1), jax.random.key(0))
 
 
+@pytest.mark.parametrize("particles,sw", [(256, 4), (512, 2), (128, 8)])
+def test_roll_gbest_matches_scalar_gbest(particles, sw):
+    # The hot-loop gbest extraction has two implementations: per-band
+    # masked scalar reductions (the original, TPU-validated oracle)
+    # and the segmented roll-tree reduce-broadcast. On an identical
+    # injected uniform stream the two solvers must be bit-identical —
+    # min/one-hot-select are exact in both. Parametrized over band
+    # geometries: rows-per-band 2, 4, and 1 (0-, 2-, and 0/1-step
+    # roll trees over an 8-sublane tile).
+    from ikpso_tpu.ops.pallas_fitness import LANES, _pack_meta, _pack_swarm
+    from ikpso_tpu.pso.fused import fused_solve_raw
+
+    spec, problem = library.arm_7dof()
+    s = 2 * sw  # two grid tiles
+    rng = np.random.RandomState(42)
+    targets = jnp.asarray(
+        np.asarray(problem.targets) + rng.uniform(-0.3, 0.3, (s, 1, 3)),
+        jnp.float32,
+    )
+    batched = library.batched_problem(problem, targets)
+
+    pso = PSOConfig(iterations=4)  # default randomized inertia: 3 draws/iter
+    fit = FitnessConfig()
+    meta = _pack_meta(spec, fit, None, False)
+    anchor_angles = fk_ops.pose_to_angles(spec, batched.pose)
+    anchor_positions = fk_ops.fk_points(spec, batched.pose, batched.origin)
+    swarm = _pack_swarm(spec, batched, anchor_angles, anchor_positions, False)
+    limits = jnp.stack(
+        [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]
+    )
+    seeds = jnp.zeros((s, 2), jnp.int32)
+    d = spec.dof
+    total_rows = sw * (particles // LANES)
+    n_draws = 1 + pso.iterations * 3
+    uniforms = jnp.asarray(
+        rng.uniform(0.0, 1.0, (s // sw, n_draws, d * total_rows, LANES)),
+        jnp.float32,
+    )
+
+    out = {}
+    for mode in ("scalar", "auto"):
+        out[mode] = fused_solve_raw(
+            spec, pso, fit, meta, swarm, limits, seeds,
+            particles, 0, interpret=_interpret(), uniforms=uniforms,
+            swarms_per_tile=sw, gbest_mode=mode,
+        )
+    np.testing.assert_array_equal(np.asarray(out["auto"][0]),
+                                  np.asarray(out["scalar"][0]))
+    np.testing.assert_array_equal(np.asarray(out["auto"][1]),
+                                  np.asarray(out["scalar"][1]))
+    # The run must have actually optimized something (guards against a
+    # degenerate all-zeros comparison).
+    assert np.all(np.asarray(out["auto"][1]) >= 0.0)
+    assert np.any(np.asarray(out["auto"][0]) != 0.0)
+
+
 @pytest.mark.skipif(INTERPRET, reason="needs real TPU PRNG")
 def test_fused_converges_on_tpu():
     spec, problem = library.arm_7dof()

@@ -68,6 +68,30 @@ def test_frames_counts_are_plausible():
     assert (result.frames[result.converged] >= 1).all()
 
 
+def test_trial_batching_merges_independent_chunks():
+    # trial_batch splits trials into sequential solver batches; the
+    # merged result must cover all trials and preserve per-trial
+    # independence (all converge, frames sane) — the mechanism that
+    # lets 128+ reference-scale trials run without OOMing one chip.
+    spec, problem = library.planar_3dof(target=(2.9, 0.3, 0.0))
+    result = frames_to_converge(
+        spec,
+        problem,
+        np.asarray([[1.5, 1.5, 0.0]], np.float32),
+        jax.random.key(7),
+        pso=PSOConfig(iterations=25),
+        fit=FitnessConfig(angle_weight=0.5),
+        num_particles=256,
+        eps_dist=0.05,
+        max_frames=60,
+        trials=6,
+        trial_batch=2,
+    )
+    assert result.frames.shape == (6,)
+    assert result.converged.sum() >= 5, result.frames
+    assert (result.frames[result.converged] >= 1).all()
+
+
 def test_trajectory_sweep_and_checkpoint(tmp_path):
     spec, problem = library.planar_3dof()
     rng = np.random.default_rng(0)
