@@ -62,6 +62,18 @@ def _load(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache (shared with bench.py): Mosaic/XLA
+    # compiles over a TPU tunnel take minutes; cache them across
+    # processes.
+    import os
+
+    cache = os.environ.get(
+        "IKPSO_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ikpso_tpu.utils.configio import load_config
 

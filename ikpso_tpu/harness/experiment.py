@@ -47,6 +47,12 @@ class ExperimentResult:
     final_error: np.ndarray  # (trials,)
     solves_per_second: float
     wall_time_s: float
+    # Per-frame motion statistics over all pre-convergence frames of
+    # all trials — the reference reports' other two tables ("angle
+    # delta per DOF" / "node position delta", e.g.
+    # Documentation/Iteration_3/Raport_3.tex:92-103). Keys avg/min/max.
+    angle_delta: Optional[dict] = None
+    pos_delta: Optional[dict] = None
 
     @property
     def converged(self) -> np.ndarray:
@@ -54,7 +60,7 @@ class ExperimentResult:
 
     def summary(self) -> dict:
         ok = self.frames[self.converged]
-        return dict(
+        out = dict(
             trials=int(self.frames.size),
             converged=int(ok.size),
             frames_avg=float(ok.mean()) if ok.size else float("nan"),
@@ -64,6 +70,11 @@ class ExperimentResult:
             solves_per_second=self.solves_per_second,
             wall_time_s=self.wall_time_s,
         )
+        if self.angle_delta is not None:
+            out["angle_delta"] = self.angle_delta
+        if self.pos_delta is not None:
+            out["pos_delta"] = self.pos_delta
+        return out
 
 
 def frames_to_converge(
@@ -126,11 +137,26 @@ def frames_to_converge(
             remaining -= n
         wall = sum(c.wall_time_s for c in chunks)
         total = sum(c.solves_per_second * c.wall_time_s for c in chunks)
+
+        def _merge(ds):
+            ds = [d for d in ds if d]
+            if not ds:
+                return None
+            n = sum(d["n"] for d in ds)
+            return dict(
+                avg=sum(d["avg"] * d["n"] for d in ds) / n,
+                min=min(d["min"] for d in ds),
+                max=max(d["max"] for d in ds),
+                n=n,
+            )
+
         return ExperimentResult(
             frames=np.concatenate([c.frames for c in chunks]),
             final_error=np.concatenate([c.final_error for c in chunks]),
             solves_per_second=total / wall if wall > 0 else float("inf"),
             wall_time_s=wall,
+            angle_delta=_merge([c.angle_delta for c in chunks]),
+            pos_delta=_merge([c.pos_delta for c in chunks]),
         )
 
     targets = jnp.broadcast_to(
@@ -159,6 +185,23 @@ def frames_to_converge(
     done = np.zeros((trials,), bool)
     current = batched
 
+    from ikpso_tpu.ops.fk import fk_points, pose_to_angles
+
+    # Per-frame motion accumulators (reference degStream/posStream
+    # analysis, Raport tables "angle delta per DOF" / "node position
+    # delta"). Baselines: the canonical pose the trials reset from.
+    prev_angles = np.asarray(pose_to_angles(spec, batched.pose))
+    prev_pos = np.asarray(fk_points(spec, batched.pose, batched.origin))[:, 1:]
+    d_stats = {"sum": 0.0, "n": 0, "min": np.inf, "max": -np.inf}
+    p_stats = {"sum": 0.0, "n": 0, "min": np.inf, "max": -np.inf}
+
+    def _acc(stats, vals):
+        if vals.size:
+            stats["sum"] += float(vals.sum())
+            stats["n"] += int(vals.size)
+            stats["min"] = min(stats["min"], float(vals.min()))
+            stats["max"] = max(stats["max"], float(vals.max()))
+
     start = time.perf_counter()
     n_solves = 0
     for frame in range(1, max_frames + 1):
@@ -172,11 +215,17 @@ def frames_to_converge(
         err = np.asarray(res.effector_error)
         final_error = np.where(done, final_error, err)
 
-        if diagnostics is not None and not done[0]:
-            from ikpso_tpu.ops.fk import fk_points
+        # Motion deltas for still-active trials (the reference logs
+        # every frame up to and including the converging one).
+        angles_np = np.asarray(res.angles)
+        pos_np = np.asarray(fk_points(spec, res.pose, batched.origin))[:, 1:]
+        active = ~done
+        _acc(d_stats, np.abs(angles_np - prev_angles)[active])
+        _acc(p_stats, np.linalg.norm(pos_np - prev_pos, axis=-1)[active])
+        prev_angles, prev_pos = angles_np, pos_np
 
-            pos = np.asarray(fk_points(spec, res.pose[0], batched.origin[0]))[1:]
-            diagnostics.log_frame(np.asarray(res.angles[0]), pos, float(err[0]))
+        if diagnostics is not None and not done[0]:
+            diagnostics.log_frame(angles_np[0], pos_np[0], float(err[0]))
 
         newly = (~done) & (err <= eps_dist)
         frames[newly] = frame
@@ -191,11 +240,21 @@ def frames_to_converge(
         current = dataclasses.replace(current, pose=res.pose)
     wall = time.perf_counter() - start
 
+    def _final(stats):
+        if not stats["n"]:
+            return None
+        return dict(
+            avg=stats["sum"] / stats["n"], min=stats["min"], max=stats["max"],
+            n=stats["n"],
+        )
+
     return ExperimentResult(
         frames=frames,
         final_error=final_error,
         solves_per_second=(n_solves * trials) / wall if wall > 0 else float("inf"),
         wall_time_s=wall,
+        angle_delta=_final(d_stats),
+        pos_delta=_final(p_stats),
     )
 
 

@@ -41,6 +41,12 @@ class PSOConfig:
         default="randomized", metadata=dict(static=True)
     )
     init_velocity_scale: float = 1.0
+    # "warm": all particles start AT the current pose (the reference's
+    # shipped iteration-2+ init, kernel.cu:249-253). "uniform":
+    # particles start uniformly over the joint range — the reference's
+    # iteration-1 protocol (Documentation/Iteration_1), kept for
+    # convergence-parity experiments against that report's numbers.
+    init_mode: str = dataclasses.field(default="warm", metadata=dict(static=True))
     # Optional linear inertia schedule (canonical mode only): the
     # inertia decays from ``inertia`` to ``inertia_end`` over the run —
     # the classic explore-then-exploit PSO schedule the reference lacks.
@@ -56,6 +62,8 @@ class PSOConfig:
     def __post_init__(self):
         if self.inertia_mode not in ("randomized", "canonical"):
             raise ValueError(f"unknown inertia_mode: {self.inertia_mode!r}")
+        if self.init_mode not in ("warm", "uniform"):
+            raise ValueError(f"unknown init_mode: {self.init_mode!r}")
         if self.inertia_end >= 0.0 and self.inertia_mode != "canonical":
             raise ValueError("inertia_end requires inertia_mode='canonical'")
 

@@ -463,6 +463,11 @@ def make_fused_solver(
     convergence-analysis tool; ``trace`` here has one entry: the final
     gbest fitness).
     """
+    if pso.init_mode != "warm":
+        raise ValueError(
+            "the fused megakernel implements warm-start init only; use the "
+            "jnp solver for init_mode='uniform' (an iteration-1 parity mode)"
+        )
     num_obstacles = 0 if obstacles is None else obstacles.count
     use_orientation_w = float(np.asarray(fit.orientation_weight)) != 0.0
     limits = jnp.stack(

@@ -137,16 +137,30 @@ def init_swarm(
     fitness_fn: FitnessFn,
     pso: PSOConfig,
     gbest_reduce: Optional[GbestReduce] = None,
+    limits: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
-    """Warm-start swarm init (reference initParticlesKernel, kernel.cu:223-266).
+    """Swarm init (reference initParticlesKernel, kernel.cu:223-266).
 
-    All particles start AT the current pose; exploration comes only
-    from uniform random initial velocities — the animation-friendly
-    design decision of the reference's iteration 2
-    (Documentation/Iteration_2/Raport_2.tex:58, via SURVEY.md §0).
+    ``init_mode="warm"`` (default): all particles start AT the current
+    pose; exploration comes only from uniform random initial
+    velocities — the animation-friendly design decision of the
+    reference's iteration 2 (Documentation/Iteration_2/Raport_2.tex:58,
+    via SURVEY.md §0). ``init_mode="uniform"``: particles start
+    uniformly over the joint range (``limits``) — the reference's
+    iteration-1 protocol, for parity with that report.
     """
     s, d = anchor_angles.shape
-    x = jnp.broadcast_to(anchor_angles[:, None, :], (s, num_particles, d))
+    if pso.init_mode == "uniform":
+        if limits is None:
+            raise ValueError("init_mode='uniform' requires joint limits")
+        lo, hi = limits
+        key, key_x = jax.random.split(key)
+        x = jax.random.uniform(
+            key_x, (s, num_particles, d), dtype=anchor_angles.dtype,
+            minval=jnp.maximum(lo, -2 * jnp.pi), maxval=jnp.minimum(hi, 2 * jnp.pi),
+        )
+    else:
+        x = jnp.broadcast_to(anchor_angles[:, None, :], (s, num_particles, d))
     v = jax.random.uniform(
         key,
         (s, num_particles, d),
@@ -208,7 +222,8 @@ def solve(
 
     key_init, key_loop = jax.random.split(key)
     x0, v0, lbest0, lbest_val0, gbest0, gbest_val0 = init_swarm(
-        key_init, anchor_angles, num_particles, fitness_fn, pso, gbest_reduce
+        key_init, anchor_angles, num_particles, fitness_fn, pso, gbest_reduce,
+        limits=(lo, hi),
     )
     if vary_axes:
         # Under shard_map with a sharded particle axis, the warm-start

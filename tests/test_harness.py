@@ -90,6 +90,13 @@ def test_trial_batching_merges_independent_chunks():
     assert result.frames.shape == (6,)
     assert result.converged.sum() >= 5, result.frames
     assert (result.frames[result.converged] >= 1).all()
+    # Motion-delta statistics merge across chunks (reference report
+    # tables: angle delta per DOF / node position delta).
+    s = result.summary()
+    for k in ("angle_delta", "pos_delta"):
+        st = s[k]
+        assert st["n"] > 0 and st["max"] >= st["min"] >= 0.0
+        assert 0.0 < st["avg"] <= st["max"]
 
 
 def test_trajectory_sweep_and_checkpoint(tmp_path):

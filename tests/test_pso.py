@@ -37,6 +37,41 @@ def test_warm_start_init_semantics():
     np.testing.assert_allclose(np.asarray(res.angles), anchor, atol=1e-6)
 
 
+def test_uniform_init_semantics():
+    # Iteration-1 parity mode: particles start spread over the joint
+    # range, so even with zero iterations the best-of-init beats a
+    # hopeless warm start when the anchor is far from the target.
+    spec, problem = library.planar_3dof(target=(0.0, 2.5, 0.0))
+    pso = PSOConfig(iterations=0, init_mode="uniform")
+    fit = FitnessConfig(angle_weight=0.0)
+    res_u = solve_single(
+        spec, problem, jax.random.key(3), pso=pso, fit=fit, num_particles=512
+    )
+    res_w = solve_single(
+        spec, problem, jax.random.key(3), pso=PSOConfig(iterations=0), fit=fit,
+        num_particles=512,
+    )
+    # Warm start with 0 iterations returns the anchor exactly; uniform
+    # init's best random sample must already be closer.
+    assert float(res_u.effector_error) < float(res_w.effector_error)
+    # Samples respect joint limits.
+    lo = np.asarray(spec.min_rotation[1:]).reshape(-1)
+    hi = np.asarray(spec.max_rotation[1:]).reshape(-1)
+    a = np.asarray(res_u.angles)
+    assert (a >= np.maximum(lo, -2 * np.pi) - 1e-6).all()
+    assert (a <= np.minimum(hi, 2 * np.pi) + 1e-6).all()
+
+
+def test_uniform_init_rejected_by_fused_and_bad_mode():
+    from ikpso_tpu.pso.fused import make_fused_solver
+
+    spec, _ = library.planar_3dof()
+    with pytest.raises(ValueError):
+        make_fused_solver(spec, pso=PSOConfig(init_mode="uniform"))
+    with pytest.raises(ValueError):
+        PSOConfig(init_mode="bogus")
+
+
 def test_determinism_same_key():
     spec, problem = library.planar_3dof()
     r1 = solve_single(spec, problem, jax.random.key(7), num_particles=64)
