@@ -103,6 +103,36 @@ def test_rejects_bad_particle_counts():
         solver(_batched(problem, 1), jax.random.key(0))
 
 
+@pytest.mark.parametrize("nrows,seg", [(8, 2), (8, 4), (8, 8), (56, 2), (32, 4)])
+@pytest.mark.parametrize("op_name", ["add", "minimum"])
+def test_seg_rows_reduce(nrows, seg, op_name):
+    # The roll-tree segmented reduce-broadcast against a numpy segment
+    # reduction: every row must hold its aligned seg-row block's
+    # reduction after the call.
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from ikpso_tpu.pso.fused import _seg_rows_reduce
+
+    op = {"add": jnp.add, "minimum": jnp.minimum}[op_name]
+    rng = np.random.RandomState(nrows * 100 + seg)
+    x = rng.uniform(-5, 5, (nrows, 128)).astype(np.float32)
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = _seg_rows_reduce(x_ref[...], seg, op)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(x))
+
+    blocks = x.reshape(nrows // seg, seg, 128)
+    want = (blocks.sum(1) if op_name == "add" else blocks.min(1))
+    want = np.repeat(want, seg, axis=0)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-5)
+
+
 @pytest.mark.parametrize("particles,sw", [(256, 4), (512, 2), (128, 8)])
 def test_roll_gbest_matches_scalar_gbest(particles, sw):
     # The hot-loop gbest extraction has two implementations: per-band
