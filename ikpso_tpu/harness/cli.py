@@ -85,6 +85,15 @@ def _load(args):
         cfg = dataclasses.replace(
             cfg, pso=dataclasses.replace(cfg.pso, iterations=args.iterations)
         )
+    if getattr(args, "init_mode", None):
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(cfg.pso, init_mode=args.init_mode)
+        )
+    if getattr(args, "angle_weight", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, fitness=dataclasses.replace(cfg.fitness,
+                                             angle_weight=args.angle_weight)
+        )
     return cfg
 
 
@@ -236,6 +245,15 @@ def main(argv=None) -> int:
     p.add_argument("--eps", type=float, default=0.025)
     p.add_argument("--max-frames", type=int, default=300)
     p.add_argument("--outdir", default=None, help="diagnostics directory")
+    p.add_argument(
+        "--init-mode", choices=("warm", "uniform"), default=None,
+        help="'uniform' reproduces the reference's Iteration_1 protocol",
+    )
+    p.add_argument(
+        "--angle-weight", type=float, default=None,
+        help="override the angular-locality weight (0.0 = the "
+        "reference's Iteration_1/2 fitness)",
+    )
     p.set_defaults(fn=cmd_experiment)
 
     p = sub.add_parser("sweep", help="trajectory waypoint sweep")
