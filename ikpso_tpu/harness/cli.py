@@ -170,6 +170,7 @@ def cmd_experiment(args) -> int:
         diagnostics=diag,
         impl=_pick_impl(args, cfg),
         trial_batch=args.trial_batch,
+        progress=args.progress,
     )
     if diag:
         diag.close()
@@ -253,6 +254,10 @@ def main(argv=None) -> int:
         "--angle-weight", type=float, default=None,
         help="override the angular-locality weight (0.0 = the "
         "reference's Iteration_1/2 fitness)",
+    )
+    p.add_argument(
+        "--progress", action="store_true",
+        help="per-frame convergence progress on stderr",
     )
     p.set_defaults(fn=cmd_experiment)
 

@@ -19,6 +19,7 @@ frame's result (inherently sequential, like the reference).
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Optional
 
@@ -94,6 +95,7 @@ def frames_to_converge(
     impl: str = "jnp",
     validate: bool = True,
     trial_batch: Optional[int] = None,
+    progress: bool = False,
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -131,10 +133,15 @@ def frames_to_converge(
                     max_frames=max_frames, trials=n,
                     # Reference-style single-run logging: first batch only.
                     diagnostics=diagnostics if not chunks else None,
-                    impl=impl, validate=validate,
+                    impl=impl, validate=validate, progress=progress,
                 )
             )
             remaining -= n
+            if progress:
+                print(
+                    f"[experiment] batch done: {trials - remaining}/{trials} "
+                    f"trials", file=sys.stderr, flush=True,
+                )
         wall = sum(c.wall_time_s for c in chunks)
         total = sum(c.solves_per_second * c.wall_time_s for c in chunks)
 
@@ -229,6 +236,11 @@ def frames_to_converge(
 
         newly = (~done) & (err <= eps_dist)
         frames[newly] = frame
+        if progress and (frame % 25 == 0 or newly.any()):
+            print(
+                f"[experiment] frame {frame}: {int((done | newly).sum())}/"
+                f"{trials} converged", file=sys.stderr, flush=True,
+            )
         if diagnostics is not None and newly[0]:
             diagnostics.log_convergence(frame)
         done |= newly
