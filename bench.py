@@ -155,15 +155,31 @@ def main() -> int:
     # fewer iterations (20 vs 60); randomized stays available for
     # reference-parity runs.
     inertia_mode = args.inertia_mode or ("canonical" if impl == "fused" else "randomized")
-    # Small packed swarms converge better per evaluation: P=256 @ 30
-    # iterations beats P=1024 @ 20 with 2.7x fewer evals, and packing 4
-    # swarms per tile amortizes the elementwise work across them.
-    particles = args.particles or (256 if impl == "fused" else 1024)
+    # Measured per-model fused defaults (out/bench_sweep{2,3,4}.jsonl;
+    # docs/PERFORMANCE.md): small swarms converge better per
+    # evaluation, and tall packed tiles (R = swarms_per_tile *
+    # particles/128 sublanes) amortize all elementwise work across the
+    # packed swarms — 8xP=128 per (16,128)... up to 32xP=128 per
+    # (32,128) tile is the 7-DOF frontier. Harder (higher-DOF) models
+    # need bigger swarms for the success-rate tail: dual-arm keeps
+    # P=1024 and packs 2 per (16,128) tile.
+    fused_defaults = {  # model -> (particles, swarms_per_tile, iterations)
+        "arm_7dof": (128, 32, 45),
+        "planar_3dof": (128, 32, 45),
+        "arm_6dof": (128, 32, 45),
+        "dual_arm_14dof": (1024, 2, 50),
+        "reference_arm": (256, 4, 100),
+    }
+    dp, dsw, dit = fused_defaults[args.model]
+    particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
+    elif impl == "fused":
+        # Keep the measured tile height when particles are overridden.
+        swarms_per_tile = max(1, (dp * dsw) // particles)
     else:
-        swarms_per_tile = max(1, (8 * 128) // particles) if impl == "fused" else 1
-    default_iters = 30 if (impl == "fused" and particles <= 512) else (
+        swarms_per_tile = 1
+    default_iters = dit if impl == "fused" else (
         20 if inertia_mode == "canonical" else 60
     )
     iterations = args.iterations or default_iters
