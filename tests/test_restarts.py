@@ -1,0 +1,79 @@
+"""Retry-on-failure wrapper (ikpso_tpu.pso.restarts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikpso_tpu.models import library
+from ikpso_tpu.ops.fitness import FitnessConfig
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.restarts import make_retry_solver, solve_with_retries
+from ikpso_tpu.pso.solver import make_solver
+
+
+def _setup(s=12):
+    spec, problem = library.planar_3dof(target=(1.5, 1.5, 0.0))
+    rng = np.random.RandomState(3)
+    targets = jnp.asarray(
+        np.asarray(problem.targets)[None] + rng.uniform(-0.4, 0.4, (s, 1, 3)) *
+        np.asarray([1.0, 1.0, 0.0]),
+        jnp.float32,
+    )
+    return spec, library.batched_problem(problem, targets)
+
+
+def test_retry_rescues_failed_swarms():
+    spec, batched = _setup()
+    fit = FitnessConfig(angle_weight=0.0)
+    # Base solver too weak to converge; retry solver strong.
+    weak = make_solver(spec, pso=PSOConfig(iterations=1), fit=fit,
+                       num_particles=64)
+    strong = make_solver(spec, pso=PSOConfig(iterations=80), fit=fit,
+                         num_particles=256)
+    base = weak(batched, jax.random.key(0))
+    base_err = np.asarray(base.effector_error)
+    assert (base_err > 0.05).any()  # premise: weak solver fails some
+
+    res = solve_with_retries(
+        weak, batched, jax.random.key(0),
+        err_threshold=0.05, max_rounds=1, bucket=4, retry_solver=strong,
+    )
+    err = np.asarray(res.effector_error)
+    # Retried rows improved dramatically; no row got worse.
+    assert (err <= base_err + 1e-7).all()
+    assert np.median(err) < np.median(base_err)
+    assert (err < 0.05).mean() > (base_err < 0.05).mean()
+
+
+def test_retry_noop_when_all_converged():
+    spec, batched = _setup(s=4)
+    fit = FitnessConfig(angle_weight=0.0)
+    solver = make_solver(spec, pso=PSOConfig(iterations=60), fit=fit,
+                         num_particles=256)
+    res0 = solver(batched, jax.random.key(1))
+    wrapped = make_retry_solver(solver, err_threshold=1e9)  # nothing fails
+    res1 = wrapped(batched, jax.random.key(1))
+    np.testing.assert_array_equal(
+        np.asarray(res0.angles), np.asarray(res1.angles)
+    )
+
+
+def test_retry_bucket_padding_and_chunking():
+    # bucket > failures (padding) and bucket < failures (chunking)
+    # both preserve monotonic improvement.
+    spec, batched = _setup(s=10)
+    fit = FitnessConfig(angle_weight=0.0)
+    weak = make_solver(spec, pso=PSOConfig(iterations=1), fit=fit,
+                       num_particles=64)
+    strong = make_solver(spec, pso=PSOConfig(iterations=80), fit=fit,
+                         num_particles=256)
+    base_err = np.asarray(weak(batched, jax.random.key(2)).effector_error)
+    for bucket in (3, 64):
+        res = solve_with_retries(
+            weak, batched, jax.random.key(2),
+            err_threshold=0.05, max_rounds=1, bucket=bucket,
+            retry_solver=strong,
+        )
+        err = np.asarray(res.effector_error)
+        assert (err <= base_err + 1e-7).all(), bucket
+        assert (err < 0.05).mean() >= (base_err < 0.05).mean()
