@@ -32,7 +32,7 @@ BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
 
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           impl, s, inertia_mode, swarms_per_tile=1,
-                          retries=0):
+                          retries=0, orientation=False):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -53,7 +53,22 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     targets = fk_ops.fk_points(spec, rand_pose, problem.origin)[
         :, list(spec.effector_idx), :
     ]
-    batched = batched_problem(problem, targets)
+    target_rot = None
+    if orientation:
+        # Orientation targets: the effector WORLD rotations of the same
+        # sampled poses (as Euler XYZ), so position+orientation is
+        # exactly satisfiable and the solver pays for the full 6-DOF
+        # task (BASELINE config 2).
+        from ikpso_tpu.ops.rotations import (
+            matrix_to_quaternion,
+            quaternion_to_euler_xyz,
+        )
+
+        world_rot = fk_ops.fk(spec, rand_pose, problem.origin)[1][
+            :, list(spec.effector_idx)
+        ]
+        target_rot = quaternion_to_euler_xyz(matrix_to_quaternion(world_rot))
+    batched = batched_problem(problem, targets, target_rot=target_rot)
 
     if inertia_mode == "canonical":
         pso = PSOConfig(
@@ -64,7 +79,10 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         )
     else:
         pso = PSOConfig(iterations=iterations, inertia_mode=inertia_mode)
-    fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
+    fit = FitnessConfig(
+        angle_weight=0.0, distance_weight=0.0,
+        orientation_weight=1.0 if orientation else 0.0,
+    )
 
     if impl == "fused":
         from ikpso_tpu.pso.fused import make_fused_solver
@@ -92,7 +110,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
     err_mm = np.asarray(res.effector_error) * 1000.0
     flops = solve_flops(spec, num_particles, s, pso)
-    return dict(
+    out = dict(
         wall_s=wall,
         solves_per_s=s / wall,
         p50_err_mm=float(np.percentile(err_mm, 50)),
@@ -100,6 +118,21 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         frac_under_1mm=float((err_mm < 1.0).mean()),
         gflops=flops / wall / 1e9,
     )
+    if orientation:
+        from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
+
+        solved_rot = fk_ops.fk(spec, res.pose, batched.origin)[1][
+            :, list(spec.effector_idx)
+        ]
+        tgt = euler_xyz_to_matrix(batched.target_rot)
+        # Geodesic angle: acos((tr(Ra^T Rb) - 1) / 2), worst effector.
+        tr = jnp.einsum("...ij,...ij->...", solved_rot, tgt)
+        ang = np.degrees(
+            np.asarray(jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)))
+        ).max(axis=-1)
+        out["p50_orient_err_deg"] = float(np.percentile(ang, 50))
+        out["p90_orient_err_deg"] = float(np.percentile(ang, 90))
+    return out
 
 
 def main() -> int:
@@ -139,6 +172,11 @@ def main() -> int:
         help="BASELINE.md config to benchmark (headline: arm_7dof)",
     )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--orientation", action="store_true",
+        help="position+orientation targets (BASELINE config 2 task); "
+        "adds p50/p90 geodesic orientation error to the record",
+    )
     parser.add_argument(
         "--retries", type=int, default=0,
         help="re-solve swarms still >1mm with fresh RNG (N rounds); "
@@ -212,6 +250,7 @@ def main() -> int:
             inertia_mode=inertia_mode,
             swarms_per_tile=swarms_per_tile,
             retries=args.retries,
+            orientation=args.orientation,
         )
     value = stats["solves_per_s"]
     metric = (
@@ -239,6 +278,10 @@ def main() -> int:
     }
     if args.retries:
         record["retries"] = args.retries
+    if args.orientation:
+        record["orientation"] = True
+        record["p50_orient_err_deg"] = round(stats["p50_orient_err_deg"], 3)
+        record["p90_orient_err_deg"] = round(stats["p90_orient_err_deg"], 3)
     print(json.dumps(record))
     return 0
 
