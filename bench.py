@@ -102,10 +102,10 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
             spec, pso=pso, fit=fit, num_particles=num_particles, fitness_fn=fitness_fn
         )
     if retries:
-        from ikpso_tpu.pso.restarts import make_retry_solver
+        from ikpso_tpu.pso.restarts import make_topk_retry_solver
 
-        solver = make_retry_solver(
-            solver, err_threshold=1e-3, max_rounds=retries, bucket=1024
+        solver = make_topk_retry_solver(
+            solver, err_threshold=1e-3, rounds=retries, bucket=1024
         )
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
     err_mm = np.asarray(res.effector_error) * 1000.0

@@ -119,3 +119,71 @@ def make_retry_solver(solver: Solver, **retry_kwargs) -> Solver:
         return solve_with_retries(solver, problem, key, **retry_kwargs)
 
     return _solve
+
+
+def make_topk_retry_solver(
+    solver: Solver,
+    *,
+    bucket: int = 1024,
+    err_threshold: float = 1e-3,
+    rounds: int = 1,
+    retry_solver: Optional[Solver] = None,
+) -> Solver:
+    """Fully-jitted retry: base solve + re-solve of the ``bucket``
+    WORST swarms, merged on device — one XLA program, zero host syncs.
+
+    Where :func:`solve_with_retries` gathers the exact failure set on
+    the host (general, but each round pays host<->device round-trips —
+    ~330 ms over a tunnel), this picks the top-``bucket`` worst swarms
+    with a device-side ``argsort``: the shapes are static, the whole
+    base+retry+merge pipeline jits into a single dispatch, and the only
+    cost is always re-solving ``bucket`` swarms (~bucket/S extra
+    compute) whether or not they all failed. The ``err_threshold``
+    guard keeps already-converged swarms' results bit-stable.
+
+    The reference's analog would be "run the kernel again on the worst
+    problems" — impossible to express without host logic in its
+    architecture (SURVEY.md §3.3); here it is three extra XLA ops.
+    """
+    retry_solver_ = retry_solver or solver
+
+    def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
+        # Base solve consumes the caller's key unchanged, so the
+        # wrapper is a strict superset of the bare solver (same base
+        # trajectory); retry streams derive via fold_in.
+        res = solver(problem, key)
+        s = res.effector_error.shape[0]
+        b = min(bucket, s)
+        out = res
+        k2 = jax.random.fold_in(key, 0x7e7)
+        for _ in range(rounds):
+            k2, ks = jax.random.split(k2)
+            worst = jax.lax.top_k(out.effector_error, b)[1]
+            sub_problem = jax.tree.map(
+                lambda x: jnp.take(x, worst, axis=0), problem
+            )
+            retry = retry_solver_(sub_problem, ks)
+            prev_err = jnp.take(out.effector_error, worst)
+            better = (retry.effector_error < prev_err) & (
+                prev_err > err_threshold
+            )
+            # Route not-better rows out of bounds; "drop" makes the
+            # scatter a no-op for them. `worst` indices are unique, so
+            # kept writes cannot collide.
+            safe = jnp.where(better, worst, s)
+
+            def merge(base, new):
+                # Not-better rows carry the out-of-bounds index and are
+                # dropped, so scattering `new` directly is safe.
+                return base.at[safe].set(new, mode="drop")
+
+            out = SolveResult(
+                angles=merge(out.angles, retry.angles),
+                fitness=merge(out.fitness, retry.fitness),
+                pose=merge(out.pose, retry.pose),
+                effector_error=merge(out.effector_error, retry.effector_error),
+                trace=out.trace,
+            )
+        return out
+
+    return jax.jit(_solve)

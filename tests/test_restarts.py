@@ -58,6 +58,48 @@ def test_retry_noop_when_all_converged():
     )
 
 
+def test_topk_retry_is_jitted_and_rescues():
+    from ikpso_tpu.pso.restarts import make_topk_retry_solver
+
+    spec, batched = _setup(s=12)
+    fit = FitnessConfig(angle_weight=0.0)
+    weak = make_solver(spec, pso=PSOConfig(iterations=1), fit=fit,
+                       num_particles=64)
+    strong = make_solver(spec, pso=PSOConfig(iterations=80), fit=fit,
+                         num_particles=256)
+    base_err = np.asarray(weak(batched, jax.random.key(4)).effector_error)
+
+    wrapped = make_topk_retry_solver(
+        weak, bucket=4, err_threshold=0.05, rounds=2, retry_solver=strong,
+    )
+    res = wrapped(batched, jax.random.key(4))
+    err = np.asarray(res.effector_error)
+    # Only ever replaces with strictly-better results; two rounds of
+    # 4-worst retries must lift the success rate.
+    assert (err <= base_err + 1e-7).all()
+    assert (err < 0.05).mean() > (base_err < 0.05).mean()
+    # Deterministic under jit: same key -> same result.
+    res2 = wrapped(batched, jax.random.key(4))
+    np.testing.assert_array_equal(np.asarray(res2.angles), np.asarray(res.angles))
+
+
+def test_topk_retry_keeps_converged_rows_bit_stable():
+    from ikpso_tpu.pso.restarts import make_topk_retry_solver
+
+    spec, batched = _setup(s=6)
+    fit = FitnessConfig(angle_weight=0.0)
+    solver = make_solver(spec, pso=PSOConfig(iterations=60), fit=fit,
+                         num_particles=256)
+    res0 = solver(batched, jax.random.key(5))
+    wrapped = make_topk_retry_solver(solver, bucket=3, err_threshold=1e9)
+    res1 = wrapped(batched, jax.random.key(5))
+    # err_threshold=inf: no row may be touched even though the bucket
+    # re-solved the 3 worst.
+    np.testing.assert_array_equal(
+        np.asarray(res0.angles), np.asarray(res1.angles)
+    )
+
+
 def test_retry_bucket_padding_and_chunking():
     # bucket > failures (padding) and bucket < failures (chunking)
     # both preserve monotonic improvement.
