@@ -200,6 +200,7 @@ def cmd_sweep(args) -> int:
         batch_size=args.batch,
         checkpoint_path=args.checkpoint,
         impl=_pick_impl(args, cfg),
+        retries=args.retries,
     )
     print(
         json.dumps(
@@ -267,6 +268,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--jitter", type=float, default=0.25)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--retries", type=int, default=0,
+        help="top-k retry rounds per batch (re-solve the worst eighth)",
+    )
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("viz", help="render scene to html/png")

@@ -46,13 +46,17 @@ def solve_waypoints(
     checkpoint_path: Optional[str] = None,
     mesh=None,
     impl: str = "jnp",
+    retries: int = 0,
+    retry_err_threshold: float = 1e-3,
 ) -> SweepResult:
     """Solve every waypoint (W, E, 3) as an independent swarm.
 
     With ``mesh`` given, each batch is solved via the sharded path
     (swarm axis across devices); otherwise single-device batched.
     Each waypoint warm-starts from ``problem.pose`` — independent
-    solves, retryable by construction.
+    solves, retryable by construction. ``retries`` wraps the solver in
+    the jitted top-k retry (re-solve the worst eighth of each batch up
+    to N rounds — production tail hardening, pso/restarts.py).
     """
     waypoints = np.asarray(waypoints, np.float32)
     w = waypoints.shape[0]
@@ -85,6 +89,16 @@ def solve_waypoints(
             fit=fit,
             obstacles=obstacles,
             num_particles=num_particles,
+        )
+
+    if retries:
+        from ikpso_tpu.pso.restarts import make_topk_retry_solver
+
+        solver = make_topk_retry_solver(
+            solver,
+            bucket=max(1, batch_size // 8),
+            err_threshold=retry_err_threshold,
+            rounds=retries,
         )
 
     run_key = state.key
