@@ -28,6 +28,15 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
+        "--rekick-interval", type=int, default=None,
+        help="re-randomize particle velocities every N iterations "
+        "(0 = off; rescues prematurely-converged swarms)",
+    )
+    p.add_argument(
+        "--rekick-scale", type=float, default=None,
+        help="half-width of the re-kick velocity draw (default 1.0)",
+    )
+    p.add_argument(
         "--impl",
         choices=("auto", "jnp", "fused"),
         default="auto",
@@ -88,6 +97,15 @@ def _load(args):
     if getattr(args, "init_mode", None):
         cfg = dataclasses.replace(
             cfg, pso=dataclasses.replace(cfg.pso, init_mode=args.init_mode)
+        )
+    if getattr(args, "rekick_interval", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(cfg.pso,
+                                         rekick_interval=args.rekick_interval)
+        )
+    if getattr(args, "rekick_scale", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(cfg.pso, rekick_scale=args.rekick_scale)
         )
     if getattr(args, "angle_weight", None) is not None:
         cfg = dataclasses.replace(

@@ -58,6 +58,17 @@ class PSOConfig:
     # (71.5% vs 98.8% under 1mm) for only ~1.3x kernel speedup — keep
     # the default 1 unless the workload tolerates loose convergence.
     gbest_interval: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # Velocity re-kick (0 = off): every ``rekick_interval`` iterations,
+    # replace every particle's velocity with a fresh U(-1, 1) *
+    # ``rekick_scale`` draw (positions and local bests are untouched).
+    # Rescues prematurely-converged swarms — a warm-started swarm that
+    # collapses onto a local optimum has near-zero velocity everywhere,
+    # and the randomized-inertia update can never regrow it; the kick
+    # restarts exploration around the collapsed cluster. The final
+    # answer is the argmin over local bests, so a kick can never make
+    # the reported solution worse.
+    rekick_interval: int = dataclasses.field(default=0, metadata=dict(static=True))
+    rekick_scale: float = 1.0
 
     def __post_init__(self):
         if self.inertia_mode not in ("randomized", "canonical"):
@@ -66,6 +77,8 @@ class PSOConfig:
             raise ValueError(f"unknown init_mode: {self.init_mode!r}")
         if self.inertia_end >= 0.0 and self.inertia_mode != "canonical":
             raise ValueError("inertia_end requires inertia_mode='canonical'")
+        if self.rekick_interval < 0:
+            raise ValueError("rekick_interval must be >= 0")
 
     def inertia_at(self, iteration):
         """Inertia coefficient for a (possibly traced) iteration index."""

@@ -191,8 +191,9 @@ def _build_solver_kernel(
         x0 = jnp.concatenate(
             [jnp.broadcast_to(sw(lay_anchor + dd), tile) for dd in range(d)], axis=0
         )
+        rekick_n = pso.rekick_interval
         if debug_uniforms:
-            draws_per_iter = 3 if randomized else 2
+            draws_per_iter = (3 if randomized else 2) + (1 if rekick_n else 0)
 
             def draw(slot):
                 return u_ref[0, slot]
@@ -307,10 +308,20 @@ def _build_solver_kernel(
                     u_c = draw(base)
                     u_s = draw(base + 1)
                     u_w = draw(base + 2) if randomized else None
+                    u_k = draw(base + draws_per_iter - 1) if rekick_n else None
                 else:
                     u_c = draw(None)
                     u_s = draw(None)
                     u_w = draw(None) if randomized else None
+                    u_k = draw(None) if rekick_n else None
+                if rekick_n:
+                    # Periodic velocity re-kick (PSOConfig.rekick_interval):
+                    # overwrite the inertia memory with a fresh
+                    # init-style draw on kick iterations.
+                    kick = (it > 0) & (it % rekick_n == 0)
+                    v = jnp.where(
+                        kick, (u_k * 2.0 - 1.0) * np.float32(pso.rekick_scale), v
+                    )
                 w_t = pso.inertia_at(it) if pso.inertia_end >= 0.0 else w
                 if randomized:
                     v = w_t * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)

@@ -97,15 +97,23 @@ def pso_iteration(
 ):
     """One PSO step over the full (S, P, D) state. Pure; scan body."""
     shape = x.shape
+    n_kick = 1 if pso.rekick_interval > 0 else 0
     if pso.inertia_mode == "randomized":
         # v = w*U()*v + c1*U()*(lbest-x) + c2*U()*(gbest-x)
         # (reference kernel.cu:164-166 — inertia also randomized).
-        u = jax.random.uniform(key, (3,) + shape, dtype=x.dtype)
+        u = jax.random.uniform(key, (3 + n_kick,) + shape, dtype=x.dtype)
         u_w, u_c, u_s = u[0], u[1], u[2]
     else:
-        u = jax.random.uniform(key, (2,) + shape, dtype=x.dtype)
+        u = jax.random.uniform(key, (2 + n_kick,) + shape, dtype=x.dtype)
         u_w = jnp.ones_like(x)
         u_c, u_s = u[0], u[1]
+
+    if n_kick:
+        # Periodic velocity re-kick: overwrite the inertia memory with
+        # a fresh init-style draw; cognitive/social pull still applies
+        # this step. See PSOConfig.rekick_interval.
+        kick = (iteration > 0) & (iteration % pso.rekick_interval == 0)
+        v = jnp.where(kick, (u[-1] * 2.0 - 1.0) * pso.rekick_scale, v)
 
     v = (
         pso.inertia_at(iteration) * u_w * v

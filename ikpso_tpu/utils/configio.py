@@ -144,9 +144,12 @@ def dump_config(cfg: RunConfig) -> str:
             "social": float(cfg.pso.social),
             "iterations": cfg.pso.iterations,
             "inertia_mode": cfg.pso.inertia_mode,
+            "init_mode": cfg.pso.init_mode,
             "init_velocity_scale": float(cfg.pso.init_velocity_scale),
             "inertia_end": float(cfg.pso.inertia_end),
             "gbest_interval": cfg.pso.gbest_interval,
+            "rekick_interval": cfg.pso.rekick_interval,
+            "rekick_scale": float(cfg.pso.rekick_scale),
         },
         "fitness": {
             "angle_weight": float(cfg.fitness.angle_weight),

@@ -220,3 +220,75 @@ def test_inertia_schedule_converges():
     pso = PSOConfig(iterations=11, inertia_mode="canonical", inertia=0.6, inertia_end=0.2)
     assert abs(float(pso.inertia_at(0)) - 0.6) < 1e-6
     assert abs(float(pso.inertia_at(10)) - 0.2) < 1e-6
+
+
+def test_rekick_overwrites_velocity_memory():
+    # On a kick iteration, pso_iteration must be independent of the
+    # incoming velocity (the kick replaces it before the update); on a
+    # non-kick iteration, different velocities must yield different
+    # results. PSOConfig.rekick_interval semantics.
+    from ikpso_tpu.pso.solver import pso_iteration
+
+    spec, problem = library.arm_7dof()
+    d = spec.dof
+    s, p = 2, 8
+    key = jax.random.key(3)
+    x = jax.random.normal(key, (s, p, d)) * 0.1
+    lbest = x
+    gbest = x[:, 0, :]
+    lo = jnp.full((d,), -10.0)
+    hi = jnp.full((d,), 10.0)
+
+    def fit_fn(xx):
+        return jnp.sum(xx**2, axis=-1)
+
+    lval = fit_fn(x)
+    gval = lval[:, 0]
+    pso = PSOConfig(iterations=4, rekick_interval=2)
+
+    def step(v0, it):
+        return pso_iteration(
+            x, v0, lbest, lval, gbest, gval, jax.random.key(7),
+            fit_fn, lo, hi, pso, iteration=jnp.asarray(it),
+        )
+
+    v_a = jnp.ones((s, p, d))
+    v_b = -3.0 * jnp.ones((s, p, d))
+    out_kick_a = step(v_a, 2)
+    out_kick_b = step(v_b, 2)
+    np.testing.assert_array_equal(
+        np.asarray(out_kick_a[0]), np.asarray(out_kick_b[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_kick_a[1]), np.asarray(out_kick_b[1])
+    )
+    out_nk_a = step(v_a, 1)
+    out_nk_b = step(v_b, 1)
+    assert not np.allclose(np.asarray(out_nk_a[0]), np.asarray(out_nk_b[0]))
+
+
+def test_rekick_zero_matches_disabled_default():
+    # rekick_interval=0 (the default) must not change the RNG stream
+    # or the trajectory at all.
+    spec, problem = library.arm_7dof()
+    r0 = solve_single(
+        spec, problem, jax.random.key(0),
+        pso=PSOConfig(iterations=5), num_particles=128,
+    )
+    r1 = solve_single(
+        spec, problem, jax.random.key(0),
+        pso=PSOConfig(iterations=5, rekick_interval=0), num_particles=128,
+    )
+    np.testing.assert_array_equal(np.asarray(r0.angles), np.asarray(r1.angles))
+
+
+def test_rekick_solver_end_to_end():
+    spec, problem = library.arm_7dof()
+    res = solve_single(
+        spec, problem, jax.random.key(0),
+        pso=PSOConfig(iterations=8, rekick_interval=3, rekick_scale=0.5),
+        num_particles=256,
+    )
+    assert np.isfinite(float(res.fitness))
+    tr = np.asarray(res.trace)
+    assert (np.diff(tr[:, 0] if tr.ndim > 1 else tr) <= 1e-6).all()
