@@ -32,7 +32,8 @@ BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
 
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           impl, s, inertia_mode, swarms_per_tile=1,
-                          retries=0, orientation=False):
+                          retries=0, orientation=False,
+                          rekick_interval=0, rekick_scale=1.0):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -70,15 +71,17 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         target_rot = quaternion_to_euler_xyz(matrix_to_quaternion(world_rot))
     batched = batched_problem(problem, targets, target_rot=target_rot)
 
+    rk = dict(rekick_interval=rekick_interval, rekick_scale=rekick_scale)
     if inertia_mode == "canonical":
         pso = PSOConfig(
             iterations=iterations,
             inertia_mode="canonical",
             inertia=0.5,
             inertia_end=0.2,
+            **rk,
         )
     else:
-        pso = PSOConfig(iterations=iterations, inertia_mode=inertia_mode)
+        pso = PSOConfig(iterations=iterations, inertia_mode=inertia_mode, **rk)
     fit = FitnessConfig(
         angle_weight=0.0, distance_weight=0.0,
         orientation_weight=1.0 if orientation else 0.0,
@@ -183,6 +186,15 @@ def main() -> int:
         "wall time includes the retries",
     )
     parser.add_argument(
+        "--rekick-interval", type=int, default=0,
+        help="velocity re-kick every N iterations (0 = off); rescues "
+        "prematurely-converged swarms (PSOConfig.rekick_interval)",
+    )
+    parser.add_argument(
+        "--rekick-scale", type=float, default=1.0,
+        help="half-width of the re-kick velocity draw",
+    )
+    parser.add_argument(
         "--profile",
         default=None,
         metavar="LOGDIR",
@@ -251,6 +263,8 @@ def main() -> int:
             swarms_per_tile=swarms_per_tile,
             retries=args.retries,
             orientation=args.orientation,
+            rekick_interval=args.rekick_interval,
+            rekick_scale=args.rekick_scale,
         )
     value = stats["solves_per_s"]
     metric = (

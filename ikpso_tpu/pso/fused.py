@@ -292,36 +292,56 @@ def _build_solver_kernel(
                 f"iterations={pso.iterations} must be a multiple of "
                 f"gbest_interval={interval}"
             )
+        # With the re-kick enabled, the outer loop's unroll unit grows
+        # from `gbest_interval` to `rekick_interval` iterations so that
+        # kicks land at STATIC positions (block starts): the kernel
+        # then takes only one extra RNG draw per kick block, not one
+        # per iteration.
+        if rekick_n:
+            if rekick_n % interval or pso.iterations % rekick_n:
+                raise ValueError(
+                    f"rekick_interval={rekick_n} must be a multiple of "
+                    f"gbest_interval={interval} and divide "
+                    f"iterations={pso.iterations}"
+                )
+            block = rekick_n
+        else:
+            block = interval
 
-        def body(it_outer, carry):
+        def body(blk, carry):
             x, v, lbest, lbest_val = carry
-            # One gbest extraction serves `interval` sub-steps (the
-            # social attractor lags <= interval-1 steps).
-            if use_rolls:
-                gb = gbest_broadcast(lbest, lbest_val)
-            else:
-                _, gb = gbest_tiles(lbest, lbest_val)
-            for sub in range(interval):  # static unroll
-                it = it_outer * interval + sub
+            if rekick_n:
+                # Periodic velocity re-kick (PSOConfig.rekick_interval):
+                # overwrite the inertia memory with a fresh init-style
+                # draw at every block start except iteration 0. The
+                # debug slot is the kick iteration's last draw slot.
+                it0 = blk * block
+                if debug_uniforms:
+                    u_k = draw(1 + it0 * draws_per_iter + draws_per_iter - 1)
+                else:
+                    u_k = draw(None)
+                v = jnp.where(
+                    it0 > 0, (u_k * 2.0 - 1.0) * np.float32(pso.rekick_scale), v
+                )
+            gb = None
+            for sub in range(block):  # static unroll
+                it = blk * block + sub
+                if sub % interval == 0:
+                    # One gbest extraction serves `interval` sub-steps
+                    # (the social attractor lags <= interval-1 steps).
+                    if use_rolls:
+                        gb = gbest_broadcast(lbest, lbest_val)
+                    else:
+                        _, gb = gbest_tiles(lbest, lbest_val)
                 if debug_uniforms:
                     base = 1 + it * draws_per_iter
                     u_c = draw(base)
                     u_s = draw(base + 1)
                     u_w = draw(base + 2) if randomized else None
-                    u_k = draw(base + draws_per_iter - 1) if rekick_n else None
                 else:
                     u_c = draw(None)
                     u_s = draw(None)
                     u_w = draw(None) if randomized else None
-                    u_k = draw(None) if rekick_n else None
-                if rekick_n:
-                    # Periodic velocity re-kick (PSOConfig.rekick_interval):
-                    # overwrite the inertia memory with a fresh
-                    # init-style draw on kick iterations.
-                    kick = (it > 0) & (it % rekick_n == 0)
-                    v = jnp.where(
-                        kick, (u_k * 2.0 - 1.0) * np.float32(pso.rekick_scale), v
-                    )
                 w_t = pso.inertia_at(it) if pso.inertia_end >= 0.0 else w
                 if randomized:
                     v = w_t * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb - x)
@@ -336,7 +356,7 @@ def _build_solver_kernel(
                 lbest = jnp.where(bmask, x, lbest)
             return x, v, lbest, lbest_val
 
-        outer = pso.iterations // interval
+        outer = pso.iterations // block
         if debug_uniforms:
             # Static unroll so the debug-uniform slots index statically.
             carry = (x0, v0, x0, lbest_val0)
