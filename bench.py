@@ -33,7 +33,8 @@ BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           impl, s, inertia_mode, swarms_per_tile=1,
                           retries=0, orientation=False,
-                          rekick_interval=0, rekick_scale=1.0):
+                          rekick_interval=0, rekick_scale=1.0,
+                          rekick_threshold=-1.0):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -71,7 +72,8 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         target_rot = quaternion_to_euler_xyz(matrix_to_quaternion(world_rot))
     batched = batched_problem(problem, targets, target_rot=target_rot)
 
-    rk = dict(rekick_interval=rekick_interval, rekick_scale=rekick_scale)
+    rk = dict(rekick_interval=rekick_interval, rekick_scale=rekick_scale,
+              rekick_threshold=rekick_threshold)
     if inertia_mode == "canonical":
         pso = PSOConfig(
             iterations=iterations,
@@ -195,6 +197,11 @@ def main() -> int:
         help="half-width of the re-kick velocity draw",
     )
     parser.add_argument(
+        "--rekick-threshold", type=float, default=-1.0,
+        help="only kick swarms with gbest fitness above this "
+        "(-1 = kick all)",
+    )
+    parser.add_argument(
         "--profile",
         default=None,
         metavar="LOGDIR",
@@ -265,6 +272,7 @@ def main() -> int:
             orientation=args.orientation,
             rekick_interval=args.rekick_interval,
             rekick_scale=args.rekick_scale,
+            rekick_threshold=args.rekick_threshold,
         )
     value = stats["solves_per_s"]
     metric = (

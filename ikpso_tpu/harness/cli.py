@@ -37,6 +37,11 @@ def _add_common(p):
         help="half-width of the re-kick velocity draw (default 1.0)",
     )
     p.add_argument(
+        "--rekick-threshold", type=float, default=None,
+        help="only kick swarms with gbest fitness above this "
+        "(default: kick all)",
+    )
+    p.add_argument(
         "--impl",
         choices=("auto", "jnp", "fused"),
         default="auto",
@@ -106,6 +111,11 @@ def _load(args):
     if getattr(args, "rekick_scale", None) is not None:
         cfg = dataclasses.replace(
             cfg, pso=dataclasses.replace(cfg.pso, rekick_scale=args.rekick_scale)
+        )
+    if getattr(args, "rekick_threshold", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(cfg.pso,
+                                         rekick_threshold=args.rekick_threshold)
         )
     if getattr(args, "angle_weight", None) is not None:
         cfg = dataclasses.replace(

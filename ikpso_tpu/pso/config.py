@@ -69,6 +69,13 @@ class PSOConfig:
     # the reported solution worse.
     rekick_interval: int = dataclasses.field(default=0, metadata=dict(static=True))
     rekick_scale: float = 1.0
+    # Selective re-kick: when >= 0, only swarms whose current
+    # global-best fitness is ABOVE this value get kicked — swarms that
+    # already converged keep their quiet refinement phase (tight p50),
+    # while stuck ones restart exploration. < 0 kicks every swarm.
+    rekick_threshold: float = dataclasses.field(
+        default=-1.0, metadata=dict(static=True)
+    )
 
     def __post_init__(self):
         if self.inertia_mode not in ("randomized", "canonical"):

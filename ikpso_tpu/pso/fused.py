@@ -320,8 +320,35 @@ def _build_solver_kernel(
                     u_k = draw(1 + it0 * draws_per_iter + draws_per_iter - 1)
                 else:
                     u_k = draw(None)
+                if pso.rekick_threshold >= 0.0:
+                    # Selective kick: per-band gbest value tile; only
+                    # bands still above the threshold restart.
+                    if use_rolls:
+                        mcol = jnp.min(lbest_val, axis=1, keepdims=True)
+                        m = _seg_rows_reduce(
+                            jnp.broadcast_to(mcol, tile), rows, jnp.minimum
+                        )
+                    else:
+                        m = jnp.concatenate(
+                            [
+                                jnp.full(
+                                    band,
+                                    jnp.min(
+                                        jnp.where(band_masks[j], lbest_val, INF)
+                                    ),
+                                )
+                                for j in range(sw_count)
+                            ],
+                            axis=0,
+                        )
+                    pred = (it0 > 0) & (
+                        m > np.float32(pso.rekick_threshold)
+                    )
+                    pred = jnp.concatenate([pred] * d, axis=0)
+                else:
+                    pred = it0 > 0
                 v = jnp.where(
-                    it0 > 0, (u_k * 2.0 - 1.0) * np.float32(pso.rekick_scale), v
+                    pred, (u_k * 2.0 - 1.0) * np.float32(pso.rekick_scale), v
                 )
             gb = None
             for sub in range(block):  # static unroll

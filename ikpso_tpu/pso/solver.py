@@ -111,8 +111,11 @@ def pso_iteration(
     if n_kick:
         # Periodic velocity re-kick: overwrite the inertia memory with
         # a fresh init-style draw; cognitive/social pull still applies
-        # this step. See PSOConfig.rekick_interval.
+        # this step. See PSOConfig.rekick_interval. With a threshold,
+        # only not-yet-converged swarms (gbest above it) are kicked.
         kick = (iteration > 0) & (iteration % pso.rekick_interval == 0)
+        if pso.rekick_threshold >= 0.0:
+            kick = kick & (gbest_val > pso.rekick_threshold)[:, None, None]
         v = jnp.where(kick, (u[-1] * 2.0 - 1.0) * pso.rekick_scale, v)
 
     v = (

@@ -150,6 +150,7 @@ def dump_config(cfg: RunConfig) -> str:
             "gbest_interval": cfg.pso.gbest_interval,
             "rekick_interval": cfg.pso.rekick_interval,
             "rekick_scale": float(cfg.pso.rekick_scale),
+            "rekick_threshold": float(cfg.pso.rekick_threshold),
         },
         "fitness": {
             "angle_weight": float(cfg.fitness.angle_weight),

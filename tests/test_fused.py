@@ -346,3 +346,64 @@ def test_fused_replay_with_rekick_matches_reference():
 
     np.testing.assert_allclose(gb_k, gb_r, atol=5e-4)
     np.testing.assert_allclose(gv_k, gv_r, rtol=1e-3, atol=1e-5)
+
+
+def test_fused_rekick_threshold_gates_kick():
+    # With rekick_threshold above every attainable fitness... no band
+    # can be below it, so every band kicks; with a threshold of 0 and
+    # perfect targets (gbest fitness exactly 0 from init), NO band may
+    # kick — and the solve must equal the rekick-free kernel
+    # bit-for-bit when fed the same per-iteration draw slots.
+    from ikpso_tpu.ops.pallas_fitness import _pack_meta, _pack_swarm
+    from ikpso_tpu.pso.fused import fused_solve_raw
+
+    spec, problem = library.arm_7dof()
+    # Targets exactly at the anchor's effectors: warm-start fitness 0.
+    eff = fk_ops.effector_positions(spec, problem.pose, problem.origin)
+    problem = library.batched_problem(problem, eff[None])
+    P, D, rows, L = 1024, spec.dof, 8, 128
+    iters, kick_n = 4, 2
+    fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
+
+    anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
+    anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
+    meta = _pack_meta(spec, fit, None)
+    swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions)
+    limits = jnp.stack(
+        [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]
+    )
+    seeds = jnp.zeros((1, 2), jnp.int32)
+    U3 = jax.random.uniform(
+        jax.random.key(2), (1, 1 + 3 * iters, D * rows, L), dtype=jnp.float32
+    )
+    # dpi=4 stream whose first three per-iteration slots equal U3's.
+    u4 = [U3[:, 0]]
+    for it in range(iters):
+        u4.extend([U3[:, 1 + 3 * it + k] for k in range(3)])
+        u4.append(jnp.full((1, D * rows, L), 0.9, jnp.float32))
+    U4 = jnp.stack(u4, axis=1)
+
+    def run(pso, U):
+        gb, gv = fused_solve_raw(
+            spec, pso, fit, meta, swarm, limits, seeds, P, 0,
+            interpret=_interpret(), uniforms=U,
+        )
+        return np.asarray(gb[0]), float(gv[0])
+
+    base = PSOConfig(iterations=iters, inertia_mode="randomized")
+    gated = PSOConfig(
+        iterations=iters, inertia_mode="randomized",
+        rekick_interval=kick_n, rekick_threshold=0.0,
+    )
+    kicked = PSOConfig(
+        iterations=iters, inertia_mode="randomized",
+        rekick_interval=kick_n, rekick_threshold=-1.0,
+    )
+    gb0, gv0 = run(base, U3)
+    gb1, gv1 = run(gated, U4)
+    np.testing.assert_array_equal(gb0, gb1)
+    assert gv0 == gv1
+    # Sanity: the unconditional kick with the same draws does change
+    # the trajectory's particles (gbest stays the perfect anchor).
+    gb2, gv2 = run(kicked, U4)
+    assert gv2 == 0.0

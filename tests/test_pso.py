@@ -292,3 +292,41 @@ def test_rekick_solver_end_to_end():
     assert np.isfinite(float(res.fitness))
     tr = np.asarray(res.trace)
     assert (np.diff(tr[:, 0] if tr.ndim > 1 else tr) <= 1e-6).all()
+
+
+def test_rekick_threshold_selective():
+    # Selective re-kick: swarms whose gbest fitness is already at or
+    # below rekick_threshold must NOT be kicked (their step is
+    # identical regardless of incoming velocity memory only when
+    # kicked — so here the incoming velocity must matter), while
+    # above-threshold swarms must be kicked (velocity independent).
+    from ikpso_tpu.pso.solver import pso_iteration
+
+    spec, _ = library.arm_7dof()
+    d = spec.dof
+    s, p = 2, 8
+    x = jnp.zeros((s, p, d))
+    lbest = x
+    gbest = x[:, 0, :]
+    lo, hi = jnp.full((d,), -10.0), jnp.full((d,), 10.0)
+
+    def fit_fn(xx):
+        return jnp.sum(xx**2, axis=-1)
+
+    lval = fit_fn(x)
+    # Swarm 0 "converged" (gbest 0.0 <= thr), swarm 1 stuck (above thr).
+    gval = jnp.asarray([0.0, 5.0])
+    pso = PSOConfig(iterations=4, rekick_interval=2, rekick_threshold=1.0)
+
+    def step(v0):
+        return pso_iteration(
+            x, v0, lbest, lval, gbest, gval, jax.random.key(7),
+            fit_fn, lo, hi, pso, iteration=jnp.asarray(2),
+        )
+
+    v_a = jnp.ones((s, p, d))
+    v_b = -3.0 * jnp.ones((s, p, d))
+    out_a, out_b = step(v_a), step(v_b)
+    xa, xb = np.asarray(out_a[0]), np.asarray(out_b[0])
+    assert not np.allclose(xa[0], xb[0])          # swarm 0: not kicked
+    np.testing.assert_array_equal(xa[1], xb[1])   # swarm 1: kicked
