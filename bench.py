@@ -300,6 +300,10 @@ def main() -> int:
     }
     if args.retries:
         record["retries"] = args.retries
+    if args.rekick_interval:
+        record["rekick_interval"] = args.rekick_interval
+        record["rekick_scale"] = args.rekick_scale
+        record["rekick_threshold"] = args.rekick_threshold
     if args.orientation:
         record["orientation"] = True
         record["p50_orient_err_deg"] = round(stats["p50_orient_err_deg"], 3)
