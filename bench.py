@@ -188,16 +188,17 @@ def main() -> int:
         "wall time includes the retries",
     )
     parser.add_argument(
-        "--rekick-interval", type=int, default=0,
-        help="velocity re-kick every N iterations (0 = off); rescues "
-        "prematurely-converged swarms (PSOConfig.rekick_interval)",
+        "--rekick-interval", type=int, default=None,
+        help="velocity re-kick every N iterations (0 = off; default: "
+        "measured per-model best); rescues prematurely-converged "
+        "swarms (PSOConfig.rekick_interval)",
     )
     parser.add_argument(
-        "--rekick-scale", type=float, default=1.0,
+        "--rekick-scale", type=float, default=0.5,
         help="half-width of the re-kick velocity draw",
     )
     parser.add_argument(
-        "--rekick-threshold", type=float, default=-1.0,
+        "--rekick-threshold", type=float, default=1e-6,
         help="only kick swarms with gbest fitness above this "
         "(-1 = kick all)",
     )
@@ -232,14 +233,18 @@ def main() -> int:
     # (32,128) tile is the 7-DOF frontier. Harder (higher-DOF) models
     # need bigger swarms for the success-rate tail: dual-arm keeps
     # P=1024 and packs 2 per (16,128) tile.
-    fused_defaults = {  # model -> (particles, swarms_per_tile, iterations)
-        "arm_7dof": (128, 32, 45),
-        "planar_3dof": (128, 32, 45),
-        "arm_6dof": (128, 32, 45),
-        "dual_arm_14dof": (1024, 2, 50),
-        "reference_arm": (256, 4, 100),
+    # 4th element: default rekick_interval — one threshold-gated
+    # mid-run velocity re-kick rescues prematurely-converged swarms at
+    # zero throughput cost (docs/PERFORMANCE.md "Velocity re-kick";
+    # out/bench_rekick.jsonl). 0 = off (untuned models).
+    fused_defaults = {  # model -> (particles, swarms_per_tile, iterations, rekick)
+        "arm_7dof": (128, 32, 40, 20),
+        "planar_3dof": (128, 32, 40, 20),
+        "arm_6dof": (128, 32, 40, 20),
+        "dual_arm_14dof": (1024, 2, 50, 25),
+        "reference_arm": (256, 4, 100, 0),
     }
-    dp, dsw, dit = fused_defaults[args.model]
+    dp, dsw, dit, drk = fused_defaults[args.model]
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
@@ -252,6 +257,12 @@ def main() -> int:
         20 if inertia_mode == "canonical" else 60
     )
     iterations = args.iterations or default_iters
+    if args.rekick_interval is not None:
+        rekick_interval = args.rekick_interval
+    elif impl == "fused" and drk and iterations % drk == 0:
+        rekick_interval = drk
+    else:
+        rekick_interval = 0
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -270,7 +281,7 @@ def main() -> int:
             swarms_per_tile=swarms_per_tile,
             retries=args.retries,
             orientation=args.orientation,
-            rekick_interval=args.rekick_interval,
+            rekick_interval=rekick_interval,
             rekick_scale=args.rekick_scale,
             rekick_threshold=args.rekick_threshold,
         )
@@ -300,8 +311,8 @@ def main() -> int:
     }
     if args.retries:
         record["retries"] = args.retries
-    if args.rekick_interval:
-        record["rekick_interval"] = args.rekick_interval
+    if rekick_interval:
+        record["rekick_interval"] = rekick_interval
         record["rekick_scale"] = args.rekick_scale
         record["rekick_threshold"] = args.rekick_threshold
     if args.orientation:
