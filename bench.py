@@ -30,11 +30,39 @@ import numpy as np
 BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
 
 
+def _obstacle_scene(spec, n):
+    """A deterministic n-box scene scaled to the chain's reach.
+
+    Boxes ring the workspace at 0.55x reach, alternating above/below
+    the XY plane, each 15% of reach on a side — close enough that a
+    measurable fraction of random in-limit poses collide (so the SAT
+    term in the kernel genuinely constrains the solve), far enough
+    that most targets keep a collision-free solution. The reference's
+    analog is the 4 hardcoded scene boxes of its initColliders
+    (reference Main.cpp:537-559, disabled in its shipped config).
+    """
+    from ikpso_tpu.models.chain import Obstacles
+
+    reach = float(np.abs(np.asarray(spec.length)).sum())
+    ang = np.arange(n) * (2.0 * np.pi / max(n, 1)) + 0.4
+    r = 0.55 * reach
+    centers = np.stack(
+        [
+            r * np.cos(ang),
+            r * np.sin(ang),
+            0.3 * reach * np.where(np.arange(n) % 2 == 0, 1.0, -1.0),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    dims = np.full((n, 3), 0.15 * reach, np.float32)
+    return Obstacles.from_boxes(jnp.asarray(centers), jnp.asarray(dims))
+
+
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           impl, s, inertia_mode, swarms_per_tile=1,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
-                          rekick_threshold=-1.0):
+                          rekick_threshold=-1.0, obstacles=None):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -72,6 +100,23 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         target_rot = quaternion_to_euler_xyz(matrix_to_quaternion(world_rot))
     batched = batched_problem(problem, targets, target_rot=target_rot)
 
+    # With a scene present, score accuracy only on targets whose
+    # GENERATING pose is collision-free (a known collision-free
+    # solution exists); blocked targets would put an error floor under
+    # the percentiles that says nothing about the solver.
+    feasible = None
+    if obstacles is not None and obstacles.count:
+        from ikpso_tpu.ops.collision import chain_collides
+
+        pos, rot = fk_ops.fk(spec, rand_pose, problem.origin)
+        parent_pos = pos[..., list(spec.parent[1:]), :]
+        hit = chain_collides(
+            pos[..., 1:, :], rot[..., 1:, :, :], parent_pos,
+            spec.length[1:], obstacles.center, obstacles.half_extent,
+            obstacles.rot,
+        )
+        feasible = ~np.asarray(hit)
+
     rk = dict(rekick_interval=rekick_interval, rekick_scale=rekick_scale,
               rekick_threshold=rekick_threshold)
     if inertia_mode == "canonical":
@@ -93,7 +138,8 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         from ikpso_tpu.pso.fused import make_fused_solver
 
         solver = make_fused_solver(
-            spec, pso=pso, fit=fit, num_particles=num_particles,
+            spec, pso=pso, fit=fit, obstacles=obstacles,
+            num_particles=num_particles,
             swarms_per_tile=swarms_per_tile,
         )
     else:
@@ -101,10 +147,13 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         if impl == "pallas":
             from ikpso_tpu.ops.pallas_fitness import make_pallas_fitness
 
-            fitness_fn = make_pallas_fitness(spec, batched, fit=fit)
+            fitness_fn = make_pallas_fitness(
+                spec, batched, fit=fit, obstacles=obstacles
+            )
 
         solver = make_solver(
-            spec, pso=pso, fit=fit, num_particles=num_particles, fitness_fn=fitness_fn
+            spec, pso=pso, fit=fit, obstacles=obstacles,
+            num_particles=num_particles, fitness_fn=fitness_fn,
         )
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver
@@ -114,15 +163,18 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         )
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
     err_mm = np.asarray(res.effector_error) * 1000.0
+    scored = err_mm if feasible is None else err_mm[feasible]
     flops = solve_flops(spec, num_particles, s, pso)
     out = dict(
         wall_s=wall,
         solves_per_s=s / wall,
-        p50_err_mm=float(np.percentile(err_mm, 50)),
-        p90_err_mm=float(np.percentile(err_mm, 90)),
-        frac_under_1mm=float((err_mm < 1.0).mean()),
+        p50_err_mm=float(np.percentile(scored, 50)),
+        p90_err_mm=float(np.percentile(scored, 90)),
+        frac_under_1mm=float((scored < 1.0).mean()),
         gflops=flops / wall / 1e9,
     )
+    if feasible is not None:
+        out["frac_targets_feasible"] = float(feasible.mean())
     if orientation:
         from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
 
@@ -203,6 +255,12 @@ def main() -> int:
         "(-1 = kick all)",
     )
     parser.add_argument(
+        "--obstacles", type=int, default=0, metavar="N",
+        help="add an N-box scene (SAT collision term fused into the "
+        "kernel); accuracy scored on targets whose generating pose "
+        "is collision-free",
+    )
+    parser.add_argument(
         "--profile",
         default=None,
         metavar="LOGDIR",
@@ -268,6 +326,7 @@ def main() -> int:
     from ikpso_tpu.utils.profiling import trace
 
     spec, problem = getattr(library, args.model)()
+    obstacles = _obstacle_scene(spec, args.obstacles) if args.obstacles else None
     with trace(args.profile):
         stats = _target_p50_under_1mm(
             spec,
@@ -284,6 +343,7 @@ def main() -> int:
             rekick_interval=rekick_interval,
             rekick_scale=args.rekick_scale,
             rekick_threshold=args.rekick_threshold,
+            obstacles=obstacles,
         )
     value = stats["solves_per_s"]
     metric = (
@@ -306,9 +366,12 @@ def main() -> int:
         "p50_err_mm": round(stats["p50_err_mm"], 4),
         "p90_err_mm": round(stats["p90_err_mm"], 4),
         "frac_under_1mm": round(stats["frac_under_1mm"], 4),
+        "obstacles": args.obstacles,
         "wall_ms_per_solve_batch": round(stats["wall_s"] * 1e3, 3),
         "gflops": round(stats["gflops"], 1),
     }
+    if "frac_targets_feasible" in stats:
+        record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
     if args.retries:
         record["retries"] = args.retries
     if rekick_interval:
