@@ -62,7 +62,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           impl, s, inertia_mode, swarms_per_tile=1,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
-                          rekick_threshold=-1.0, obstacles=None):
+                          rekick_threshold=-1.0, obstacles=None, polish=0):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -154,6 +154,16 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         solver = make_solver(
             spec, pso=pso, fit=fit, obstacles=obstacles,
             num_particles=num_particles, fitness_fn=fitness_fn,
+        )
+    if polish:
+        # Differentiable-FK LM refinement of each swarm's gbest:
+        # per-swarm accept-if-better, so it can only tighten the
+        # percentiles; lets the PSO stage stop at basin-capture depth
+        # instead of polishing stochastically (pso/polish.py).
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        solver = wrap_with_polish(
+            solver, spec, steps=polish, use_orientation=orientation
         )
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver
@@ -255,6 +265,12 @@ def main() -> int:
         "(-1 = kick all)",
     )
     parser.add_argument(
+        "--polish", type=int, default=None, metavar="K",
+        help="K Levenberg-Marquardt polish steps on each swarm's gbest "
+        "through the differentiable FK (accept-if-better per swarm; "
+        "default: measured per-model best; 0 = off)",
+    )
+    parser.add_argument(
         "--obstacles", type=int, default=0, metavar="N",
         help="add an N-box scene (SAT collision term fused into the "
         "kernel); accuracy scored on targets whose generating pose "
@@ -321,6 +337,7 @@ def main() -> int:
         rekick_interval = drk
     else:
         rekick_interval = 0
+    polish = args.polish if args.polish is not None else 0
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -344,6 +361,7 @@ def main() -> int:
             rekick_scale=args.rekick_scale,
             rekick_threshold=args.rekick_threshold,
             obstacles=obstacles,
+            polish=polish,
         )
     value = stats["solves_per_s"]
     metric = (
@@ -374,6 +392,8 @@ def main() -> int:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
     if args.retries:
         record["retries"] = args.retries
+    if polish:
+        record["polish_steps"] = polish
     if rekick_interval:
         record["rekick_interval"] = rekick_interval
         record["rekick_scale"] = args.rekick_scale

@@ -1,0 +1,200 @@
+"""Gauss-Newton / Levenberg-Marquardt polish of PSO solutions.
+
+A capability the reference cannot express: its fitness is a CUDA
+kernel, opaque to differentiation, so the only way to sharpen a
+solution is more PSO iterations (reference kernel.cu:307-323 just
+loops the stochastic update). Here FK is a JAX program, so the exact
+Jacobian of the effector residuals w.r.t. the joint angles is one
+``jax.jacfwd`` away — and a handful of damped-least-squares steps on
+the *single* gbest point per swarm replaces the tail of the PSO run
+at ~1/P of the cost per step (P particles no longer participate).
+
+Division of labor: PSO (global, stochastic) finds the basin in ~half
+the iterations it would need to also polish; LM (local, quadratic)
+drives the residual to float32 rounding in 3-6 steps. Per-swarm
+accept-if-better gating makes the stage monotonic — a swarm whose
+polish diverges (wrong basin, joint-limit wall, gimbal point) keeps
+its PSO answer, so ``wrap_with_polish`` can never hurt.
+
+All math is batched over the swarm axis: Jacobians via
+``vmap(jacfwd)``, normal equations as ``(S, D, D)`` batched solves —
+MXU-shaped work, no host involvement, jit-compatible end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ikpso_tpu.models.chain import ChainSpec, IKProblem
+from ikpso_tpu.ops import fk as fk_ops
+from ikpso_tpu.ops.fitness import true_effector_error
+from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
+
+
+def _residual_fn(spec: ChainSpec, use_orientation: bool,
+                 orientation_weight: float):
+    """Unbatched residual: (D,) angles -> (M,) weighted residual vector.
+
+    Position rows are ``sqrt(w_e) * (fk_pos - target)`` per effector —
+    so ``|r|^2`` equals the reference's weighted squared effector cost
+    (reference kernel.cu:139-146). With orientation targets, each
+    effector adds ``sqrt(w_o) * vee(E - E^T)/2`` where
+    ``E = R_fk^T R_target`` — the sin(theta)-scaled rotation axis,
+    zero exactly at alignment.
+    """
+    eff = list(spec.effector_idx)
+    w_pos = jnp.sqrt(spec.effector_weight[jnp.array(eff)])
+
+    def residual(angles, root_rot, origin, targets, target_rot):
+        pose = fk_ops.angles_to_pose(spec, root_rot, angles)
+        pos, rot = fk_ops.fk(spec, pose, origin)
+        r = (pos[eff, :] - targets) * w_pos[:, None]  # (E, 3)
+        parts = [r.reshape(-1)]
+        if use_orientation:
+            rt = euler_xyz_to_matrix(target_rot)  # (E, 3, 3)
+            e = jnp.einsum("eji,ejk->eik", rot[eff, :, :], rt)
+            vee = 0.5 * jnp.stack(
+                [
+                    e[:, 2, 1] - e[:, 1, 2],
+                    e[:, 0, 2] - e[:, 2, 0],
+                    e[:, 1, 0] - e[:, 0, 1],
+                ],
+                axis=-1,
+            )
+            parts.append((jnp.sqrt(orientation_weight) * vee).reshape(-1))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    return residual
+
+
+@partial(jax.jit, static_argnames=("steps", "use_orientation"))
+def polish_angles(
+    spec: ChainSpec,
+    problem: IKProblem,
+    angles: jnp.ndarray,
+    *,
+    steps: int = 4,
+    init_damping: float = 1e-3,
+    use_orientation: bool = False,
+    orientation_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Levenberg-Marquardt refinement of per-swarm joint angles.
+
+    Args:
+      problem: batched ``(S, ...)`` problem (targets drive the residual).
+      angles: ``(S, D)`` starting angles (typically PSO gbest).
+      steps: fixed LM step count (static; unrolled by ``lax.scan``).
+      init_damping: initial per-swarm lambda; halved on accepted steps,
+        quadrupled on rejected ones (classic LM trust-region schedule).
+
+    Returns:
+      ``(S, D)`` refined angles, clipped to joint limits; each swarm's
+      residual norm is non-increasing (rejected steps keep ``x``).
+    """
+    lo = spec.min_rotation[1:].reshape(-1)
+    hi = spec.max_rotation[1:].reshape(-1)
+    single = _residual_fn(spec, use_orientation, orientation_weight)
+
+    root_rot = problem.pose[..., 0, :]
+    target_rot = problem.target_rot
+    if target_rot is None:
+        target_rot = jnp.zeros_like(problem.targets)
+
+    res = jax.vmap(single)
+    jac = jax.vmap(jax.jacfwd(single, argnums=0))
+    d = angles.shape[-1]
+
+    def err2(x):
+        r = res(x, root_rot, problem.origin, problem.targets, target_rot)
+        return jnp.sum(r * r, axis=-1)
+
+    # Locked coordinates (min == max, e.g. the revolute wrist of the
+    # 7-DOF arm locks two axes of its node) must not receive any of the
+    # minimum-norm step, or the clip truncates it and quadratic
+    # convergence degrades to linear (measured: ~0.2x/step instead of
+    # floor-in-3-steps). Same for coords pinned at a bound and pushed
+    # outward: gradient-projection active set.
+    free_static = hi > lo
+
+    def step(carry, _):
+        x, lam = carry
+        r = res(x, root_rot, problem.origin, problem.targets, target_rot)
+        j = jac(x, root_rot, problem.origin, problem.targets, target_rot)
+        g0 = jnp.einsum("smd,sm->sd", j, r, precision="highest")
+        at_lo = (x <= lo + 1e-7) & (g0 > 0)
+        at_hi = (x >= hi - 1e-7) & (g0 < 0)
+        free = free_static & ~at_lo & ~at_hi
+        j = j * free[:, None, :].astype(j.dtype)
+        m = j.shape[-2]
+        if m <= d:
+            # Underdetermined/redundant arm (the usual IK case): the
+            # primal normal matrix J^T J is rank-deficient, so use the
+            # dual (damped-least-squares) form — the minimum-norm GN
+            # step, exact as lam -> 0, and an (M, M) solve instead of
+            # (D, D).
+            jjt = jnp.einsum("smd,snd->smn", j, j, precision="highest")
+            a = jjt + lam[:, None, None] * jnp.eye(m, dtype=x.dtype)
+            y = jnp.linalg.solve(a, r[..., None])[..., 0]
+            dx = -jnp.einsum("smd,sm->sd", j, y, precision="highest")
+        else:
+            g = jnp.einsum("smd,sm->sd", j, r, precision="highest")
+            h = jnp.einsum("smd,sme->sde", j, j, precision="highest")
+            a = h + lam[:, None, None] * jnp.eye(d, dtype=x.dtype)
+            dx = -jnp.linalg.solve(a, g[..., None])[..., 0]
+        xn = jnp.clip(x + dx, lo, hi)
+        better = err2(xn) < jnp.sum(r * r, axis=-1)
+        x = jnp.where(better[:, None], xn, x)
+        lam = jnp.clip(
+            jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e6
+        )
+        return (x, lam), None
+
+    lam0 = jnp.full(angles.shape[:-1], init_damping, angles.dtype)
+    (x, _), _ = jax.lax.scan(step, (angles, lam0), None, length=steps)
+    return x
+
+
+def wrap_with_polish(
+    solver,
+    spec: ChainSpec,
+    *,
+    steps: int = 4,
+    use_orientation: bool = False,
+    orientation_weight: float = 1.0,
+    init_damping: float = 1e-3,
+):
+    """Wrap a ``(problem, key) -> SolveResult`` solver with LM polish.
+
+    The polished answer is taken per swarm ONLY if its true effector
+    error (the host-oracle metric, reference Main.cpp:290-298) does
+    not regress; otherwise the PSO answer stands. ``fitness`` and
+    ``trace`` keep the PSO values (they describe the swarm run, not
+    the polished point).
+    """
+
+    @jax.jit
+    def _solve(problem: IKProblem, key: jnp.ndarray):
+        base = solver(problem, key)
+        x = polish_angles(
+            spec, problem, base.angles,
+            steps=steps,
+            init_damping=init_damping,
+            use_orientation=use_orientation,
+            orientation_weight=orientation_weight,
+        )
+        pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], x)
+        err = true_effector_error(spec, pose, problem)
+        take = err <= base.effector_error
+        return dataclasses.replace(
+            base,
+            angles=jnp.where(take[..., None], x, base.angles),
+            pose=jnp.where(take[..., None, None], pose, base.pose),
+            effector_error=jnp.minimum(err, base.effector_error),
+        )
+
+    return _solve

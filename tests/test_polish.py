@@ -1,0 +1,163 @@
+"""LM polish: quadratic local refinement of PSO solutions.
+
+The polish stage is pure local optimization through the differentiable
+FK (a capability the reference's opaque CUDA fitness cannot offer);
+these tests pin down (a) convergence to float32 rounding from
+near-solution starts, (b) joint-limit feasibility, (c) the per-swarm
+accept-if-better gate that makes ``wrap_with_polish`` monotonic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikpso_tpu.models import library
+from ikpso_tpu.models.chain import IKProblem
+from ikpso_tpu.ops import fk as fk_ops
+from ikpso_tpu.ops.fitness import FitnessConfig, true_effector_error
+from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
+from ikpso_tpu.pso.config import PSOConfig
+from ikpso_tpu.pso.polish import polish_angles, wrap_with_polish
+from ikpso_tpu.pso.solver import make_solver
+
+
+def _perturbed_batch(spec, problem, key, s, scale):
+    """S reachable targets + starts perturbed `scale` rad off the truth."""
+    k1, k2 = jax.random.split(key)
+    lo = spec.min_rotation[1:].reshape(-1)
+    hi = spec.max_rotation[1:].reshape(-1)
+    true_angles = jax.random.uniform(
+        k1, (s, spec.dof), minval=0.8 * lo, maxval=0.8 * hi, dtype=jnp.float32
+    )
+    pose = fk_ops.angles_to_pose(
+        spec, jnp.broadcast_to(problem.pose[0], (s, 3)), true_angles
+    )
+    targets = fk_ops.fk_points(spec, pose, problem.origin)[
+        :, list(spec.effector_idx), :
+    ]
+    batched = library.batched_problem(problem, targets)
+    start = jnp.clip(
+        true_angles
+        + scale * jax.random.normal(k2, true_angles.shape, jnp.float32),
+        lo,
+        hi,
+    )
+    return batched, start
+
+
+def test_polish_converges_from_near_solution():
+    spec, problem = library.arm_7dof()
+    batched, start = _perturbed_batch(
+        spec, problem, jax.random.key(0), s=64, scale=0.05
+    )
+    out = polish_angles(spec, batched, start, steps=6)
+    pose = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], out)
+    err = np.asarray(true_effector_error(spec, pose, batched))
+    # Quadratic convergence: 0.05 rad off -> float32 rounding floor.
+    assert np.percentile(err, 50) < 1e-6
+    assert np.percentile(err, 95) < 1e-4
+
+
+def test_polish_respects_joint_limits():
+    spec, problem = library.arm_7dof()
+    batched, start = _perturbed_batch(
+        spec, problem, jax.random.key(1), s=32, scale=0.3
+    )
+    out = np.asarray(polish_angles(spec, batched, start, steps=5))
+    lo = np.asarray(spec.min_rotation[1:].reshape(-1))
+    hi = np.asarray(spec.max_rotation[1:].reshape(-1))
+    assert (out >= lo - 1e-6).all() and (out <= hi + 1e-6).all()
+
+
+def test_polish_monotonic_per_swarm():
+    # LM steps are accept-if-better on the residual norm: even from far
+    # starts (some outside the convergence basin) no swarm's error may
+    # regress past its starting point by more than float noise.
+    spec, problem = library.arm_7dof()
+    batched, start = _perturbed_batch(
+        spec, problem, jax.random.key(2), s=64, scale=1.5
+    )
+    pose0 = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], start)
+    err0 = np.asarray(true_effector_error(spec, pose0, batched))
+    out = polish_angles(spec, batched, start, steps=5)
+    pose1 = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], out)
+    err1 = np.asarray(true_effector_error(spec, pose1, batched))
+    # Residual-norm gating is in weighted-squared space == true error
+    # monotonic for the pure position task.
+    assert (err1 <= err0 + 1e-5).all()
+    assert np.median(err1) < np.median(err0)
+
+
+def test_polish_multi_effector_tree():
+    # 21-DOF tree with 3 effectors (the reference arm): M=9 residuals,
+    # D=21 — the underdetermined branch of the normal equations.
+    spec, problem = library.reference_arm()
+    batched, start = _perturbed_batch(
+        spec, problem, jax.random.key(3), s=32, scale=0.03
+    )
+    out = polish_angles(spec, batched, start, steps=6)
+    pose = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], out)
+    err = np.asarray(true_effector_error(spec, pose, batched))
+    assert np.percentile(err, 50) < 1e-5
+
+
+def test_polish_orientation_targets():
+    spec, problem = library.arm_7dof()
+    s = 32
+    k1, k2 = jax.random.split(jax.random.key(4))
+    lo = spec.min_rotation[1:].reshape(-1)
+    hi = spec.max_rotation[1:].reshape(-1)
+    true_angles = jax.random.uniform(
+        k1, (s, spec.dof), minval=0.8 * lo, maxval=0.8 * hi, dtype=jnp.float32
+    )
+    pose = fk_ops.angles_to_pose(
+        spec, jnp.broadcast_to(problem.pose[0], (s, 3)), true_angles
+    )
+    pos, rot = fk_ops.fk(spec, pose, problem.origin)
+    eff = list(spec.effector_idx)
+    from ikpso_tpu.ops.rotations import matrix_to_quaternion, quaternion_to_euler_xyz
+
+    batched = library.batched_problem(
+        problem,
+        pos[:, eff, :],
+        target_rot=quaternion_to_euler_xyz(matrix_to_quaternion(rot[:, eff])),
+    )
+    start = jnp.clip(
+        true_angles + 0.05 * jax.random.normal(k2, true_angles.shape), lo, hi
+    )
+    out = polish_angles(
+        spec, batched, start, steps=8, use_orientation=True
+    )
+    pose1 = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], out)
+    perr = np.asarray(true_effector_error(spec, pose1, batched))
+    rot1 = fk_ops.fk(spec, pose1, batched.origin)[1][:, eff]
+    rt = euler_xyz_to_matrix(batched.target_rot)
+    tr = np.asarray(jnp.einsum("seij,seij->se", rot1, rt))
+    geo = np.degrees(np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0)))
+    assert np.percentile(perr, 50) < 1e-4
+    assert np.percentile(geo.max(axis=-1), 50) < 0.1  # degrees
+
+
+def test_wrap_with_polish_improves_solver():
+    # A deliberately under-iterated PSO run: polish must close the gap
+    # and never regress any swarm (the accept gate).
+    spec, problem = library.arm_7dof()
+    batched, _ = _perturbed_batch(
+        spec, problem, jax.random.key(5), s=48, scale=0.0
+    )
+    pso = PSOConfig(
+        iterations=12, inertia_mode="canonical", inertia=0.5, inertia_end=0.2
+    )
+    fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
+    base = make_solver(spec, pso=pso, fit=fit, num_particles=128)
+    polished = wrap_with_polish(base, spec, steps=4)
+    key = jax.random.key(6)
+    rb = base(batched, key)
+    rp = polished(batched, key)
+    eb = np.asarray(rb.effector_error)
+    ep = np.asarray(rp.effector_error)
+    assert (ep <= eb + 1e-6).all()
+    assert np.median(ep) < np.median(eb) * 0.1
+    # Result pose stays consistent with the angles field.
+    pose = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], rp.angles)
+    np.testing.assert_allclose(np.asarray(pose), np.asarray(rp.pose), atol=1e-6)
