@@ -42,6 +42,11 @@ def _add_common(p):
         "(default: kick all)",
     )
     p.add_argument(
+        "--polish", type=int, default=0, metavar="K",
+        help="K Levenberg-Marquardt polish steps on the solution "
+        "through the differentiable FK (accept-if-better; 0 = off)",
+    )
+    p.add_argument(
         "--impl",
         choices=("auto", "jnp", "fused"),
         default="auto",
@@ -140,22 +145,40 @@ def cmd_solve(args) -> int:
             obstacles=cfg.obstacles,
             num_particles=cfg.num_particles,
         )
-        batched = jax.tree.map(lambda x: x[None], cfg.problem)
-        res = jax.tree.map(
-            lambda x: x[0], solver(batched, jax.random.key(args.seed))
-        )
     else:
-        from ikpso_tpu.pso.solver import solve_single
+        from ikpso_tpu.pso.solver import make_solver
 
-        res = solve_single(
+        solver = make_solver(
             cfg.spec,
-            cfg.problem,
-            jax.random.key(args.seed),
             pso=cfg.pso,
             fit=cfg.fitness,
             obstacles=cfg.obstacles,
             num_particles=cfg.num_particles,
         )
+    if args.polish:
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        use_orient = (
+            cfg.problem.target_rot is not None
+            and float(np.asarray(cfg.fitness.orientation_weight)) != 0.0
+        )
+        solver = wrap_with_polish(
+            solver,
+            cfg.spec,
+            steps=args.polish,
+            use_orientation=use_orient,
+            orientation_weight=(
+                float(np.asarray(cfg.fitness.orientation_weight))
+                if use_orient
+                else 1.0
+            ),
+        )
+    batched = jax.tree.map(lambda x: x[None], cfg.problem)
+    res = solver(batched, jax.random.key(args.seed))
+    # Strip the swarm axis (trace carries it second: (iters+1, S)).
+    res = jax.tree.map(
+        lambda x: x[0] if x.ndim > 0 and x.shape[0] == 1 else x[:, 0], res
+    )
     print(
         json.dumps(
             dict(
@@ -229,6 +252,7 @@ def cmd_sweep(args) -> int:
         checkpoint_path=args.checkpoint,
         impl=_pick_impl(args, cfg),
         retries=args.retries,
+        polish=args.polish,
     )
     print(
         json.dumps(

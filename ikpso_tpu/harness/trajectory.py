@@ -48,6 +48,7 @@ def solve_waypoints(
     impl: str = "jnp",
     retries: int = 0,
     retry_err_threshold: float = 1e-3,
+    polish: int = 0,
 ) -> SweepResult:
     """Solve every waypoint (W, E, 3) as an independent swarm.
 
@@ -57,6 +58,8 @@ def solve_waypoints(
     solves, retryable by construction. ``retries`` wraps the solver in
     the jitted top-k retry (re-solve the worst eighth of each batch up
     to N rounds — production tail hardening, pso/restarts.py).
+    ``polish`` adds K LM steps on each waypoint's gbest through the
+    differentiable FK (pso/polish.py; accept-if-better per waypoint).
     """
     waypoints = np.asarray(waypoints, np.float32)
     w = waypoints.shape[0]
@@ -90,6 +93,11 @@ def solve_waypoints(
             obstacles=obstacles,
             num_particles=num_particles,
         )
+
+    if polish:
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        solver = wrap_with_polish(solver, spec, steps=polish)
 
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver

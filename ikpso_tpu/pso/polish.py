@@ -131,26 +131,43 @@ def polish_angles(
         free = free_static & ~at_lo & ~at_hi
         j = j * free[:, None, :].astype(j.dtype)
         m = j.shape[-2]
-        if m <= d:
-            # Underdetermined/redundant arm (the usual IK case): the
-            # primal normal matrix J^T J is rank-deficient, so use the
-            # dual (damped-least-squares) form — the minimum-norm GN
-            # step, exact as lam -> 0, and an (M, M) solve instead of
-            # (D, D).
-            jjt = jnp.einsum("smd,snd->smn", j, j, precision="highest")
-            a = jjt + lam[:, None, None] * jnp.eye(m, dtype=x.dtype)
-            y = jnp.linalg.solve(a, r[..., None])[..., 0]
-            dx = -jnp.einsum("smd,sm->sd", j, y, precision="highest")
-        else:
-            g = jnp.einsum("smd,sm->sd", j, r, precision="highest")
-            h = jnp.einsum("smd,sme->sde", j, j, precision="highest")
-            a = h + lam[:, None, None] * jnp.eye(d, dtype=x.dtype)
-            dx = -jnp.linalg.solve(a, g[..., None])[..., 0]
-        xn = jnp.clip(x + dx, lo, hi)
-        better = err2(xn) < jnp.sum(r * r, axis=-1)
-        x = jnp.where(better[:, None], xn, x)
+
+        def candidate(lam_k):
+            if m <= d:
+                # Underdetermined/redundant arm (the usual IK case):
+                # the primal normal matrix J^T J is rank-deficient, so
+                # use the dual (damped-least-squares) form — the
+                # minimum-norm GN step, exact as lam -> 0, and an
+                # (M, M) solve instead of (D, D).
+                jjt = jnp.einsum("smd,snd->smn", j, j, precision="highest")
+                a = jjt + lam_k[:, None, None] * jnp.eye(m, dtype=x.dtype)
+                y = jnp.linalg.solve(a, r[..., None])[..., 0]
+                dx = -jnp.einsum("smd,sm->sd", j, y, precision="highest")
+            else:
+                h = jnp.einsum("smd,sme->sde", j, j, precision="highest")
+                a = h + lam_k[:, None, None] * jnp.eye(d, dtype=x.dtype)
+                dx = -jnp.linalg.solve(a, g0[..., None])[..., 0]
+            return jnp.clip(x + dx, lo, hi)
+
+        # Damping race: try 0.1/1/10x lambda per step and keep the best
+        # candidate per swarm. A single-lambda LM wastes steps climbing
+        # out of an overshooting start (measured: 3 rejected steps
+        # before the first accept on far starts); the race costs only
+        # two extra residual evaluations — trivial beside the D-tangent
+        # jacfwd — and removes the climb entirely.
+        mults = (0.1, 1.0, 10.0)
+        cands = jnp.stack([candidate(lam * mk) for mk in mults])  # (3, S, D)
+        errs = jnp.stack([err2(c) for c in cands])  # (3, S)
+        kbest = jnp.argmin(errs, axis=0)  # (S,)
+        ebest = jnp.take_along_axis(errs, kbest[None], axis=0)[0]
+        xbest = jnp.take_along_axis(
+            cands, kbest[None, :, None], axis=0
+        )[0]
+        lam_best = lam * jnp.asarray(mults, x.dtype)[kbest]
+        better = ebest < jnp.sum(r * r, axis=-1)
+        x = jnp.where(better[:, None], xbest, x)
         lam = jnp.clip(
-            jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e6
+            jnp.where(better, lam_best * 0.5, lam * 10.0), 1e-8, 1e6
         )
         return (x, lam), None
 

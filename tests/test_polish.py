@@ -88,6 +88,22 @@ def test_polish_monotonic_per_swarm():
     assert np.median(err1) < np.median(err0)
 
 
+def test_polish_far_start_damping_race():
+    # The per-step 0.1/1/10x damping race must converge from FAR
+    # starts too (a single-lambda LM wastes its first steps climbing
+    # lambda after the GN step overshoots; measured stall at 0.7-unit
+    # error before the race was added).
+    spec, problem = library.arm_7dof()
+    batched, start = _perturbed_batch(
+        spec, problem, jax.random.key(7), s=128, scale=1.0
+    )
+    out = polish_angles(spec, batched, start, steps=8)
+    pose = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], out)
+    err = np.asarray(true_effector_error(spec, pose, batched))
+    assert np.percentile(err, 50) < 1e-5
+    assert (err < 1e-4).mean() > 0.85
+
+
 def test_polish_multi_effector_tree():
     # 21-DOF tree with 3 effectors (the reference arm): M=9 residuals,
     # D=21 — the underdetermined branch of the normal equations.
