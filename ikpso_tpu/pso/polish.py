@@ -4,10 +4,11 @@ A capability the reference cannot express: its fitness is a CUDA
 kernel, opaque to differentiation, so the only way to sharpen a
 solution is more PSO iterations (reference kernel.cu:307-323 just
 loops the stochastic update). Here FK is a JAX program, so the exact
-Jacobian of the effector residuals w.r.t. the joint angles is one
-``jax.jacfwd`` away — and a handful of damped-least-squares steps on
-the *single* gbest point per swarm replaces the tail of the PSO run
-at ~1/P of the cost per step (P particles no longer participate).
+Jacobian of the effector residuals w.r.t. the joint angles is
+available in closed form (ops/jacobian.py) — and a handful of
+damped-least-squares steps on the *single* gbest point per swarm
+replaces the tail of the PSO run at ~1/P of the cost per step
+(P particles no longer participate).
 
 Division of labor: PSO (global, stochastic) finds the basin in ~half
 the iterations it would need to also polish; LM (local, quadratic)
@@ -16,9 +17,13 @@ accept-if-better gating makes the stage monotonic — a swarm whose
 polish diverges (wrong basin, joint-limit wall, gimbal point) keeps
 its PSO answer, so ``wrap_with_polish`` can never hurt.
 
-All math is batched over the swarm axis: Jacobians via
-``vmap(jacfwd)``, normal equations as ``(S, D, D)`` batched solves —
-MXU-shaped work, no host involvement, jit-compatible end to end.
+TPU notes (why no autodiff / no LAPACK in the hot path): ``jacfwd``
+costs D tangent FK passes, and batched ``jnp.linalg.solve`` on tiny
+(M, M) systems lowers to a serialized pivoted LU on TPU — measured
+~100 ms per 16k-swarm batch, dwarfing the math. The analytic Jacobian
+is one FK pass of cross products, and the normal equations are solved
+by an unrolled static-size Cholesky: pure elementwise ops over the
+swarm axis, MXU/VPU-shaped. ``jacfwd`` remains the oracle in tests.
 """
 
 from __future__ import annotations
@@ -33,7 +38,28 @@ import jax.numpy as jnp
 from ikpso_tpu.models.chain import ChainSpec, IKProblem
 from ikpso_tpu.ops import fk as fk_ops
 from ikpso_tpu.ops.fitness import true_effector_error
+from ikpso_tpu.ops.jacobian import fk_with_jacobian
 from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
+
+
+def _vee_residual(re, rt_mat, weight):
+    """World-frame rotation-vector residual per effector.
+
+    ``0.5 * vee(M - M^T)`` with ``M = R_fk @ R_target^T`` — the
+    sin(theta)-scaled world rotation axis, zero exactly at alignment,
+    whose Jacobian w.r.t. joint angles is (+)the world rotation axes
+    of the joints (ops/jacobian.py orientation rows).
+    """
+    m = jnp.einsum("...eij,...ekj->...eik", re, rt_mat)
+    vee = 0.5 * jnp.stack(
+        [
+            m[..., 2, 1] - m[..., 1, 2],
+            m[..., 0, 2] - m[..., 2, 0],
+            m[..., 1, 0] - m[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    return jnp.sqrt(weight) * vee
 
 
 def _residual_fn(spec: ChainSpec, use_orientation: bool,
@@ -42,10 +68,8 @@ def _residual_fn(spec: ChainSpec, use_orientation: bool,
 
     Position rows are ``sqrt(w_e) * (fk_pos - target)`` per effector —
     so ``|r|^2`` equals the reference's weighted squared effector cost
-    (reference kernel.cu:139-146). With orientation targets, each
-    effector adds ``sqrt(w_o) * vee(E - E^T)/2`` where
-    ``E = R_fk^T R_target`` — the sin(theta)-scaled rotation axis,
-    zero exactly at alignment.
+    (reference kernel.cu:139-146). This is the ``jacfwd`` oracle for
+    the analytic path below (tests/test_jacobian.py).
     """
     eff = list(spec.effector_idx)
     w_pos = jnp.sqrt(spec.effector_weight[jnp.array(eff)])
@@ -57,19 +81,48 @@ def _residual_fn(spec: ChainSpec, use_orientation: bool,
         parts = [r.reshape(-1)]
         if use_orientation:
             rt = euler_xyz_to_matrix(target_rot)  # (E, 3, 3)
-            e = jnp.einsum("eji,ejk->eik", rot[eff, :, :], rt)
-            vee = 0.5 * jnp.stack(
-                [
-                    e[:, 2, 1] - e[:, 1, 2],
-                    e[:, 0, 2] - e[:, 2, 0],
-                    e[:, 1, 0] - e[:, 0, 1],
-                ],
-                axis=-1,
+            parts.append(
+                _vee_residual(rot[eff, :, :], rt, orientation_weight)
+                .reshape(-1)
             )
-            parts.append((jnp.sqrt(orientation_weight) * vee).reshape(-1))
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     return residual
+
+
+def _chol_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve via unrolled static-size Cholesky.
+
+    ``a`` is ``(..., M, M)`` SPD (damped normal matrix), ``b`` is
+    ``(..., M)``. Unrolling over the static M keeps every operation
+    elementwise over the batch — no pivoted-LU while-loop (the TPU
+    lowering of ``jnp.linalg.solve``, which serializes tiny batched
+    systems).
+    """
+    m = a.shape[-1]
+    low = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for jc in range(i + 1):
+            s = a[..., i, jc]
+            for k in range(jc):
+                s = s - low[i][k] * low[jc][k]
+            if i == jc:
+                low[i][jc] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                low[i][jc] = s / low[jc][jc]
+    y = [None] * m
+    for i in range(m):
+        s = b[..., i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y[i] = s / low[i][i]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = y[i]
+        for k in range(i + 1, m):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return jnp.stack(x, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("steps", "use_orientation"))
@@ -89,8 +142,8 @@ def polish_angles(
       problem: batched ``(S, ...)`` problem (targets drive the residual).
       angles: ``(S, D)`` starting angles (typically PSO gbest).
       steps: fixed LM step count (static; unrolled by ``lax.scan``).
-      init_damping: initial per-swarm lambda; halved on accepted steps,
-        quadrupled on rejected ones (classic LM trust-region schedule).
+      init_damping: initial per-swarm lambda (see the damping race
+        below for how it adapts).
 
     Returns:
       ``(S, D)`` refined angles, clipped to joint limits; each swarm's
@@ -98,20 +151,46 @@ def polish_angles(
     """
     lo = spec.min_rotation[1:].reshape(-1)
     hi = spec.max_rotation[1:].reshape(-1)
-    single = _residual_fn(spec, use_orientation, orientation_weight)
+    eff = list(spec.effector_idx)
+    w_pos = jnp.sqrt(spec.effector_weight[jnp.array(eff)])
 
     root_rot = problem.pose[..., 0, :]
-    target_rot = problem.target_rot
-    if target_rot is None:
-        target_rot = jnp.zeros_like(problem.targets)
+    origin = problem.origin
+    targets = problem.targets
+    rt_mat = None
+    if use_orientation:
+        rt_mat = euler_xyz_to_matrix(problem.target_rot)
 
-    res = jax.vmap(single)
-    jac = jax.vmap(jax.jacfwd(single, argnums=0))
     d = angles.shape[-1]
 
+    def flatten(r):  # (..., E, 3) -> (..., E*3)
+        return r.reshape(r.shape[:-2] + (-1,))
+
+    def residual_of(pe, re):
+        r = flatten((pe - targets) * w_pos[:, None])
+        if use_orientation:
+            r = jnp.concatenate(
+                [r, flatten(_vee_residual(re, rt_mat, orientation_weight))],
+                axis=-1,
+            )
+        return r
+
+    def res_only(x):
+        pose = fk_ops.angles_to_pose(spec, root_rot, x)
+        pos, rot = fk_ops.fk(spec, pose, origin)
+        return residual_of(pos[..., eff, :], rot[..., eff, :, :])
+
     def err2(x):
-        r = res(x, root_rot, problem.origin, problem.targets, target_rot)
+        r = res_only(x)
         return jnp.sum(r * r, axis=-1)
+
+    # Residual-row weights for the analytic Jacobian (rows must match
+    # the weighted residual layout).
+    row_w = jnp.repeat(w_pos, 3)
+    if use_orientation:
+        row_w = jnp.concatenate(
+            [row_w, jnp.full((len(eff) * 3,), jnp.sqrt(orientation_weight))]
+        )
 
     # Locked coordinates (min == max, e.g. the revolute wrist of the
     # 7-DOF arm locks two axes of its node) must not receive any of the
@@ -123,8 +202,12 @@ def polish_angles(
 
     def step(carry, _):
         x, lam = carry
-        r = res(x, root_rot, problem.origin, problem.targets, target_rot)
-        j = jac(x, root_rot, problem.origin, problem.targets, target_rot)
+        pose = fk_ops.angles_to_pose(spec, root_rot, x)
+        pe, re, j = fk_with_jacobian(
+            spec, pose, origin, orientation=use_orientation
+        )
+        j = j * row_w[:, None]
+        r = residual_of(pe, re)
         g0 = jnp.einsum("smd,sm->sd", j, r, precision="highest")
         at_lo = (x <= lo + 1e-7) & (g0 > 0)
         at_hi = (x >= hi - 1e-7) & (g0 < 0)
@@ -141,20 +224,20 @@ def polish_angles(
                 # (M, M) solve instead of (D, D).
                 jjt = jnp.einsum("smd,snd->smn", j, j, precision="highest")
                 a = jjt + lam_k[:, None, None] * jnp.eye(m, dtype=x.dtype)
-                y = jnp.linalg.solve(a, r[..., None])[..., 0]
+                y = _chol_solve(a, r)
                 dx = -jnp.einsum("smd,sm->sd", j, y, precision="highest")
             else:
                 h = jnp.einsum("smd,sme->sde", j, j, precision="highest")
                 a = h + lam_k[:, None, None] * jnp.eye(d, dtype=x.dtype)
-                dx = -jnp.linalg.solve(a, g0[..., None])[..., 0]
+                dx = -_chol_solve(a, g0)
             return jnp.clip(x + dx, lo, hi)
 
         # Damping race: try 0.1/1/10x lambda per step and keep the best
         # candidate per swarm. A single-lambda LM wastes steps climbing
         # out of an overshooting start (measured: 3 rejected steps
         # before the first accept on far starts); the race costs only
-        # two extra residual evaluations — trivial beside the D-tangent
-        # jacfwd — and removes the climb entirely.
+        # two extra residual evaluations — trivial beside the Jacobian
+        # pass — and removes the climb entirely.
         mults = (0.1, 1.0, 10.0)
         cands = jnp.stack([candidate(lam * mk) for mk in mults])  # (3, S, D)
         errs = jnp.stack([err2(c) for c in cands])  # (3, S)
