@@ -110,3 +110,46 @@ def test_sharded_matches_single_device_with_same_stream():
     np.testing.assert_allclose(
         np.asarray(res_sharded.angles), np.asarray(res_local.angles), atol=1e-6
     )
+
+
+def test_sharded_solver_composes_with_polish():
+    # wrap_with_polish over the swarm-sharded solver: the polish math
+    # is batched over the swarm axis, so under jit it inherits the
+    # sharding with zero cross-device communication and must not
+    # regress any swarm (the accept gate).
+    from ikpso_tpu.parallel.sharded import make_sharded_solver
+    from ikpso_tpu.pso.polish import wrap_with_polish
+
+    spec, problem = library.arm_7dof()
+    s = 16
+    key = jax.random.key(0)
+    lo = spec.min_rotation[1:].reshape(-1)
+    hi = spec.max_rotation[1:].reshape(-1)
+    rand = jax.random.uniform(
+        key, (s, spec.dof), minval=0.8 * lo, maxval=0.8 * hi,
+        dtype=jnp.float32,
+    )
+    from ikpso_tpu.ops import fk as fk_ops
+
+    pose = fk_ops.angles_to_pose(
+        spec, jnp.broadcast_to(problem.pose[0], (s, 3)), rand
+    )
+    targets = fk_ops.fk_points(spec, pose, problem.origin)[
+        :, list(spec.effector_idx), :
+    ]
+    batched = library.batched_problem(problem, targets)
+    mesh = swarm_mesh()
+    base = make_sharded_solver(
+        spec, mesh,
+        pso=PSOConfig(iterations=10, inertia_mode="canonical",
+                      inertia=0.5, inertia_end=0.2),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=128,
+    )
+    polished = wrap_with_polish(base, spec, steps=4)
+    rb = base(batched, key)
+    rp = polished(batched, key)
+    eb = np.asarray(rb.effector_error)
+    ep = np.asarray(rp.effector_error)
+    assert (ep <= eb + 1e-6).all()
+    assert np.median(ep) < 1e-4
