@@ -222,6 +222,7 @@ def cmd_experiment(args) -> int:
         impl=_pick_impl(args, cfg),
         trial_batch=args.trial_batch,
         progress=args.progress,
+        polish=args.polish,
     )
     if diag:
         diag.close()

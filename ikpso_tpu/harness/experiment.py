@@ -96,6 +96,7 @@ def frames_to_converge(
     validate: bool = True,
     trial_batch: Optional[int] = None,
     progress: bool = False,
+    polish: int = 0,
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -134,6 +135,7 @@ def frames_to_converge(
                     # Reference-style single-run logging: first batch only.
                     diagnostics=diagnostics if not chunks else None,
                     impl=impl, validate=validate, progress=progress,
+                    polish=polish,
                 )
             )
             remaining -= n
@@ -185,6 +187,20 @@ def frames_to_converge(
             fit=fit,
             obstacles=obstacles,
             num_particles=num_particles,
+        )
+    if polish:
+        # Opt-in LM refinement per frame (pso/polish.py). Not part of
+        # the reference-parity protocol: the reference has no local
+        # refinement, so parity runs keep polish=0. The polish
+        # objective mirrors the frame fitness: effector error plus the
+        # angular-locality anchor at the reference's normalization
+        # (kernel.cu:150), so per-frame motion stays animation-smooth.
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        solver = wrap_with_polish(
+            solver, spec, steps=polish,
+            locality_weight=float(np.asarray(fit.angle_weight))
+            / (spec.dof // 3),
         )
 
     frames = np.full((trials,), -1, np.int64)

@@ -125,7 +125,72 @@ def _chol_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("steps", "use_orientation"))
+def _batched_residual(spec, problem, use_orientation, orientation_weight,
+                      locality_weight):
+    """Batched residual closure ``(S, D) -> (S, M)`` for a problem.
+
+    Row blocks: weighted effector position error; optional world-frame
+    rotation-vector error; optional Tikhonov locality anchor
+    (see :func:`polish_angles`).
+    """
+    eff = list(spec.effector_idx)
+    w_pos = jnp.sqrt(spec.effector_weight[jnp.array(eff)])
+    root_rot = problem.pose[..., 0, :]
+    origin = problem.origin
+    targets = problem.targets
+    rt_mat = (
+        euler_xyz_to_matrix(problem.target_rot) if use_orientation else None
+    )
+    anchor = fk_ops.pose_to_angles(spec, problem.pose)
+
+    def flatten(r):  # (..., E, 3) -> (..., E*3)
+        return r.reshape(r.shape[:-2] + (-1,))
+
+    def res_only(x):
+        pose = fk_ops.angles_to_pose(spec, root_rot, x)
+        pos, rot = fk_ops.fk(spec, pose, origin)
+        r = flatten((pos[..., eff, :] - targets) * w_pos[:, None])
+        if use_orientation:
+            r = jnp.concatenate(
+                [
+                    r,
+                    flatten(
+                        _vee_residual(
+                            rot[..., eff, :, :], rt_mat, orientation_weight
+                        )
+                    ),
+                ],
+                axis=-1,
+            )
+        if locality_weight:
+            r = jnp.concatenate(
+                [r, jnp.sqrt(locality_weight) * (x - anchor)], axis=-1
+            )
+        return r
+
+    return res_only
+
+
+def residual_cost(
+    spec: ChainSpec,
+    problem: IKProblem,
+    angles: jnp.ndarray,
+    *,
+    use_orientation: bool = False,
+    orientation_weight: float = 1.0,
+    locality_weight: float = 0.0,
+) -> jnp.ndarray:
+    """``(S,)`` squared residual norm — the objective polish minimizes."""
+    r = _batched_residual(
+        spec, problem, use_orientation, orientation_weight, locality_weight
+    )(angles)
+    return jnp.sum(r * r, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("steps", "use_orientation", "locality_weight", "soa"),
+)
 def polish_angles(
     spec: ChainSpec,
     problem: IKProblem,
@@ -135,6 +200,8 @@ def polish_angles(
     init_damping: float = 1e-3,
     use_orientation: bool = False,
     orientation_weight: float = 1.0,
+    locality_weight: float = 0.0,
+    soa: bool = True,
 ) -> jnp.ndarray:
     """Levenberg-Marquardt refinement of per-swarm joint angles.
 
@@ -144,11 +211,30 @@ def polish_angles(
       steps: fixed LM step count (static; unrolled by ``lax.scan``).
       init_damping: initial per-swarm lambda (see the damping race
         below for how it adapts).
+      locality_weight: weight of optional Tikhonov rows
+        ``sqrt(w) * (x - anchor)`` anchoring to the problem's current
+        pose — the LM mirror of the reference's angular-locality
+        fitness term (kernel.cu:78-84). With it, polish minimizes the
+        same cost family as the PSO fitness and keeps per-frame motion
+        animation-smooth; pass the reference normalization
+        ``angle_weight / (DOF/3)`` for exact cost parity.
 
     Returns:
       ``(S, D)`` refined angles, clipped to joint limits; each swarm's
       residual norm is non-increasing (rejected steps keep ``x``).
     """
+    if soa and not use_orientation and not locality_weight:
+        # Fast path: the position-only residual has a fully-unrolled
+        # structure-of-arrays implementation where swarms occupy the
+        # TPU lane axis (pso/polish_soa.py) — ~40x the throughput of
+        # the tensor-shaped math below at bench scale, identical
+        # semantics to float rounding.
+        from ikpso_tpu.pso.polish_soa import polish_angles_soa
+
+        return polish_angles_soa(
+            spec, problem, angles, steps=steps, init_damping=init_damping
+        )
+
     lo = spec.min_rotation[1:].reshape(-1)
     hi = spec.max_rotation[1:].reshape(-1)
     eff = list(spec.effector_idx)
@@ -156,29 +242,12 @@ def polish_angles(
 
     root_rot = problem.pose[..., 0, :]
     origin = problem.origin
-    targets = problem.targets
-    rt_mat = None
-    if use_orientation:
-        rt_mat = euler_xyz_to_matrix(problem.target_rot)
-
     d = angles.shape[-1]
-
-    def flatten(r):  # (..., E, 3) -> (..., E*3)
-        return r.reshape(r.shape[:-2] + (-1,))
-
-    def residual_of(pe, re):
-        r = flatten((pe - targets) * w_pos[:, None])
-        if use_orientation:
-            r = jnp.concatenate(
-                [r, flatten(_vee_residual(re, rt_mat, orientation_weight))],
-                axis=-1,
-            )
-        return r
-
-    def res_only(x):
-        pose = fk_ops.angles_to_pose(spec, root_rot, x)
-        pos, rot = fk_ops.fk(spec, pose, origin)
-        return residual_of(pos[..., eff, :], rot[..., eff, :, :])
+    res_only = _batched_residual(
+        spec, problem, use_orientation, orientation_weight, locality_weight
+    )
+    anchor = fk_ops.pose_to_angles(spec, problem.pose)
+    sqrt_lw = jnp.sqrt(locality_weight) if locality_weight else None
 
     def err2(x):
         r = res_only(x)
@@ -203,11 +272,18 @@ def polish_angles(
     def step(carry, _):
         x, lam = carry
         pose = fk_ops.angles_to_pose(spec, root_rot, x)
-        pe, re, j = fk_with_jacobian(
+        _pe, _re, j = fk_with_jacobian(
             spec, pose, origin, orientation=use_orientation
         )
         j = j * row_w[:, None]
-        r = residual_of(pe, re)
+        r = res_only(x)
+        if locality_weight:
+            # Tikhonov locality rows: residual sqrt(w)(x - anchor),
+            # Jacobian sqrt(w) * I.
+            jl = jnp.broadcast_to(
+                sqrt_lw * jnp.eye(d, dtype=j.dtype), x.shape[:-1] + (d, d)
+            )
+            j = jnp.concatenate([j, jl], axis=-2)
         g0 = jnp.einsum("smd,sm->sd", j, r, precision="highest")
         at_lo = (x <= lo + 1e-7) & (g0 > 0)
         at_hi = (x >= hi - 1e-7) & (g0 < 0)
@@ -267,12 +343,17 @@ def wrap_with_polish(
     use_orientation: bool = False,
     orientation_weight: float = 1.0,
     init_damping: float = 1e-3,
+    locality_weight: float = 0.0,
 ):
     """Wrap a ``(problem, key) -> SolveResult`` solver with LM polish.
 
-    The polished answer is taken per swarm ONLY if its true effector
-    error (the host-oracle metric, reference Main.cpp:290-298) does
-    not regress; otherwise the PSO answer stands. ``fitness`` and
+    The polished answer is taken per swarm ONLY if it does not regress
+    the gate metric; otherwise the PSO answer stands. Without locality
+    the gate is the true effector error (the host-oracle metric,
+    reference Main.cpp:290-298), so the wrap can never hurt accuracy.
+    With ``locality_weight`` the gate is the combined residual cost
+    polish minimizes (position error may trade against motion
+    locality, exactly as in the reference's fitness). ``fitness`` and
     ``trace`` keep the PSO values (they describe the swarm run, not
     the polished point).
     """
@@ -286,15 +367,25 @@ def wrap_with_polish(
             init_damping=init_damping,
             use_orientation=use_orientation,
             orientation_weight=orientation_weight,
+            locality_weight=locality_weight,
         )
         pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], x)
         err = true_effector_error(spec, pose, problem)
-        take = err <= base.effector_error
+        if locality_weight:
+            cost = lambda a: residual_cost(  # noqa: E731
+                spec, problem, a,
+                use_orientation=use_orientation,
+                orientation_weight=orientation_weight,
+                locality_weight=locality_weight,
+            )
+            take = cost(x) <= cost(base.angles)
+        else:
+            take = err <= base.effector_error
         return dataclasses.replace(
             base,
             angles=jnp.where(take[..., None], x, base.angles),
             pose=jnp.where(take[..., None, None], pose, base.pose),
-            effector_error=jnp.minimum(err, base.effector_error),
+            effector_error=jnp.where(take, err, base.effector_error),
         )
 
     return _solve

@@ -177,3 +177,55 @@ def test_wrap_with_polish_improves_solver():
     # Result pose stays consistent with the angles field.
     pose = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], rp.angles)
     np.testing.assert_allclose(np.asarray(pose), np.asarray(rp.pose), atol=1e-6)
+
+
+def test_polish_locality_rows_keep_motion_small():
+    # Tikhonov locality rows mirror the reference's angular-locality
+    # fitness term: the polished point stays near the anchor pose at
+    # some cost in position error, and the combined residual cost
+    # never regresses.
+    from ikpso_tpu.pso.polish import residual_cost
+
+    spec, problem = library.arm_7dof()
+    batched, _ = _perturbed_batch(
+        spec, problem, jax.random.key(8), s=32, scale=0.0
+    )
+    anchor = fk_ops.pose_to_angles(spec, batched.pose)
+    x_pure = polish_angles(spec, batched, anchor, steps=6)
+    x_loc = polish_angles(
+        spec, batched, anchor, steps=6, locality_weight=1.0
+    )
+    d_pure = np.abs(np.asarray(x_pure - anchor)).mean()
+    d_loc = np.abs(np.asarray(x_loc - anchor)).mean()
+    assert d_loc < d_pure
+    cost0 = np.asarray(residual_cost(spec, batched, anchor, locality_weight=1.0))
+    cost1 = np.asarray(residual_cost(spec, batched, x_loc, locality_weight=1.0))
+    assert (cost1 <= cost0 + 1e-6).all()
+    assert cost1.mean() < cost0.mean()
+
+
+def test_soa_path_matches_general_path():
+    # polish_angles dispatches position-only polish to the SoA core;
+    # it must match the general tensor path (forced via a degenerate
+    # locality weight of 0 through the internal API) to float rounding.
+    import ikpso_tpu.pso.polish as polish_mod
+    from ikpso_tpu.pso.polish_soa import polish_angles_soa
+
+    for model in ("arm_7dof", "reference_arm", "dual_arm_14dof"):
+        spec, problem = getattr(library, model)()
+        batched, start = _perturbed_batch(
+            spec, problem, jax.random.key(11), s=32, scale=0.2
+        )
+        x_soa = polish_angles_soa(
+            spec, batched, start, steps=6, init_damping=1e-3
+        )
+        x_gen = polish_mod.polish_angles(
+            spec, batched, start, steps=6, soa=False
+        )
+        pose_s = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], x_soa)
+        pose_g = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], x_gen)
+        err_s = np.asarray(true_effector_error(spec, pose_s, batched))
+        err_g = np.asarray(true_effector_error(spec, pose_g, batched))
+        # Same convergence quality (trajectories may split at FP ties).
+        assert abs(np.median(err_s) - np.median(err_g)) < 1e-4, model
+        assert np.percentile(err_s, 50) < 1e-4, model
