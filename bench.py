@@ -234,7 +234,8 @@ def main() -> int:
     )
     parser.add_argument(
         "--model",
-        choices=("arm_7dof", "planar_3dof", "arm_6dof", "dual_arm_14dof", "reference_arm"),
+        choices=("arm_7dof", "planar_3dof", "arm_6dof", "dual_arm_14dof",
+                 "reference_arm", "snake_30dof"),
         default="arm_7dof",
         help="BASELINE.md config to benchmark (headline: arm_7dof)",
     )
@@ -317,6 +318,7 @@ def main() -> int:
         "arm_6dof": (128, 32, 40, 20),
         "dual_arm_14dof": (1024, 2, 50, 25),
         "reference_arm": (256, 4, 100, 0),
+        "snake_30dof": (256, 4, 60, 0),
     }
     dp, dsw, dit, drk = fused_defaults[args.model]
     particles = args.particles or (dp if impl == "fused" else 1024)

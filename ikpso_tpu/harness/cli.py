@@ -28,6 +28,14 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
+        "--inertia-mode",
+        choices=("randomized", "canonical"),
+        default=None,
+        help="PSO inertia policy (default: the config's — 'randomized' "
+        "for reference parity; 'canonical' converges tighter, and "
+        "supports an inertia_end decay via JSON config)",
+    )
+    p.add_argument(
         "--rekick-interval", type=int, default=None,
         help="re-randomize particle velocities every N iterations "
         "(0 = off; rescues prematurely-converged swarms)",
@@ -107,6 +115,11 @@ def _load(args):
     if getattr(args, "init_mode", None):
         cfg = dataclasses.replace(
             cfg, pso=dataclasses.replace(cfg.pso, init_mode=args.init_mode)
+        )
+    if getattr(args, "inertia_mode", None):
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(cfg.pso,
+                                         inertia_mode=args.inertia_mode)
         )
     if getattr(args, "rekick_interval", None) is not None:
         cfg = dataclasses.replace(

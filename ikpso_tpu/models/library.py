@@ -147,6 +147,24 @@ def arm_7dof(target=(1.0, 1.2, -0.8)) -> Tuple[ChainSpec, IKProblem]:
     return spec, _problem(pose, [target])
 
 
+def snake_30dof(target=(4.0, 3.0, 2.0)) -> Tuple[ChainSpec, IKProblem]:
+    """Long-chain stress model: 10 spherical links, 30 articulated DOF.
+
+    The reference's stated goal is "arbitrarily large kinematic
+    chains" (reference Documentation/Iteration_1/Raport.tex:36), but
+    its DOF is a compile-time constant (reference ik_constants.h:3) —
+    changing it means recompiling. Here topology is runtime data: this
+    model exercises deep chains through the same solvers, and is the
+    natural consumer of the log-depth ``ops.fk.fk_serial_scan`` path.
+    +-pi/2 per-axis limits keep the redundant chain well-conditioned;
+    a small initial bend avoids the straight-line singular start.
+    """
+    return serial_chain(
+        10, link_length=1.0, free_axes=(0, 1, 2),
+        limit=PI / 2, target=target, initial_bend=0.1,
+    )
+
+
 def dual_arm_14dof(
     target_a=(1.0, 1.0, 0.5), target_b=(-1.0, 1.0, 0.5)
 ) -> Tuple[ChainSpec, IKProblem]:

@@ -43,6 +43,7 @@ _MODELS = {
     "arm_6dof": library.arm_6dof,
     "arm_7dof": library.arm_7dof,
     "dual_arm_14dof": library.dual_arm_14dof,
+    "snake_30dof": library.snake_30dof,
 }
 
 

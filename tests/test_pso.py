@@ -330,3 +330,23 @@ def test_rekick_threshold_selective():
     xa, xb = np.asarray(out_a[0]), np.asarray(out_b[0])
     assert not np.allclose(xa[0], xb[0])          # swarm 0: not kicked
     np.testing.assert_array_equal(xa[1], xb[1])   # swarm 1: kicked
+
+
+def test_snake_30dof_converges_with_polish():
+    # Long-chain model (30 articulated DOF): PSO finds the basin and
+    # the LM polish drives the redundant chain to sub-mm — topology is
+    # runtime data here, vs the reference's compile-time DOF
+    # (reference ik_constants.h:3).
+    from ikpso_tpu.pso.polish import wrap_with_polish
+
+    spec, problem = library.snake_30dof()
+    assert spec.dof == 30
+    pso = PSOConfig(iterations=40, inertia_mode="canonical")
+    fit = FitnessConfig(angle_weight=0.0)
+
+    def base(p, key):
+        return solve(spec, p, key, pso=pso, fit=fit, num_particles=512)
+
+    solver = wrap_with_polish(base, spec, steps=6)
+    res = solver(_single(problem), jax.random.key(3))
+    assert float(res.effector_error[0]) < 1e-3
