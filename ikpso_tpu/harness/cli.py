@@ -6,6 +6,7 @@ Replaces the reference's interactive GLFW app + single CLI arg
   solve       one batched solve from a JSON config, print results
   experiment  the reset->solve->frames-to-converge protocol (§4)
   sweep       trajectory sweep over many waypoints, checkpointable
+  track       follow moving targets: scan-chained per-frame re-solves
   viz         render the configured scene to HTML / PNG
 
 Run as ``python -m ikpso_tpu.harness.cli <cmd> ...``.
@@ -48,6 +49,12 @@ def _add_common(p):
         "--rekick-threshold", type=float, default=None,
         help="only kick swarms with gbest fitness above this "
         "(default: kick all)",
+    )
+    p.add_argument(
+        "--angle-weight", type=float, default=None,
+        help="override the angular-locality weight (0.0 = the "
+        "reference's Iteration_1/2 fitness; lower = tighter reaching, "
+        "less motion smoothing)",
     )
     p.add_argument(
         "--polish", type=int, default=0, metavar="K",
@@ -282,6 +289,63 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_track(args) -> int:
+    import jax
+
+    from ikpso_tpu.harness.trajectory import circle_paths, track_trajectories
+
+    cfg = _load(args)
+    path = circle_paths(
+        np.asarray(cfg.problem.targets),
+        steps=args.steps,
+        num_paths=args.paths,
+        radius=args.radius,
+        revolutions=args.revolutions,
+        seed=args.seed,
+    )
+    result = track_trajectories(
+        cfg.spec,
+        cfg.problem,
+        path,
+        jax.random.key(args.seed),
+        pso=cfg.pso,
+        fit=cfg.fitness,
+        obstacles=cfg.obstacles,
+        num_particles=cfg.num_particles,
+        impl=_pick_impl(args, cfg),
+        polish=args.polish,
+        timeit=args.timeit,
+    )
+    # Per-step joint motion: continuity metric of the tracked animation
+    # (the reference's degStream angle-delta analysis, per frame).
+    step_delta = np.abs(np.diff(result.angles, axis=0))
+    # The run starts from the model's canonical pose, so the first
+    # steps are the convergence transient (the experiment protocol's
+    # frames-to-converge); steady-state tracking quality is judged
+    # after a settle prefix.
+    settle = args.settle if args.settle is not None else args.steps // 4
+    ss = result.errors[settle:]
+    print(
+        json.dumps(
+            dict(
+                steps=int(result.errors.shape[0]),
+                paths=int(result.errors.shape[1]),
+                err_p50=float(np.percentile(result.errors, 50)),
+                err_p95=float(np.percentile(result.errors, 95)),
+                settle=settle,
+                err_p50_settled=float(np.percentile(ss, 50)),
+                err_p95_settled=float(np.percentile(ss, 95)),
+                err_max_settled=float(ss.max()),
+                angle_delta_avg=float(step_delta.mean()),
+                angle_delta_max=float(step_delta.max()),
+                solves_per_second=result.solves_per_second,
+                wall_time_s=result.wall_time_s,
+            )
+        )
+    )
+    return 0
+
+
 def cmd_viz(args) -> int:
     from ikpso_tpu.viz.render import export_html, plot_scene
 
@@ -318,11 +382,6 @@ def main(argv=None) -> int:
         help="'uniform' reproduces the reference's Iteration_1 protocol",
     )
     p.add_argument(
-        "--angle-weight", type=float, default=None,
-        help="override the angular-locality weight (0.0 = the "
-        "reference's Iteration_1/2 fitness)",
-    )
-    p.add_argument(
         "--progress", action="store_true",
         help="per-frame convergence progress on stderr",
     )
@@ -339,6 +398,29 @@ def main(argv=None) -> int:
         help="top-k retry rounds per batch (re-solve the worst eighth)",
     )
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser(
+        "track",
+        help="track moving targets: scan-chained per-frame re-solves",
+    )
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=120, help="path length T")
+    p.add_argument(
+        "--paths", type=int, default=256,
+        help="S independent trajectories tracked in parallel",
+    )
+    p.add_argument("--radius", type=float, default=0.25)
+    p.add_argument("--revolutions", type=float, default=1.0)
+    p.add_argument(
+        "--settle", type=int, default=None,
+        help="steps to exclude from steady-state error stats "
+        "(default steps//4; the initial convergence transient)",
+    )
+    p.add_argument(
+        "--timeit", action="store_true",
+        help="run twice and report steady-state wall time",
+    )
+    p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("viz", help="render scene to html/png")
     _add_common(p)

@@ -32,6 +32,153 @@ class SweepResult:
     solves_per_second: float
 
 
+@dataclasses.dataclass
+class TrackResult:
+    """Output of :func:`track_trajectories`."""
+
+    angles: np.ndarray  # (T, S, D)
+    errors: np.ndarray  # (T, S) true effector error per step
+    final_pose: np.ndarray  # (S, N, 3)
+    solves_per_second: float
+    wall_time_s: float
+
+
+def _build_solver(spec, pso, fit, obstacles, num_particles, impl):
+    if impl == "fused":
+        from ikpso_tpu.pso.fused import make_fused_solver
+
+        return make_fused_solver(
+            spec, pso=pso, fit=fit, obstacles=obstacles,
+            num_particles=num_particles,
+        )
+    return make_solver(
+        spec, pso=pso, fit=fit, obstacles=obstacles,
+        num_particles=num_particles,
+    )
+
+
+def track_trajectories(
+    spec: ChainSpec,
+    problem: IKProblem,
+    path: np.ndarray,
+    key: jnp.ndarray,
+    *,
+    pso: PSOConfig = PSOConfig(),
+    fit: FitnessConfig = FitnessConfig(),
+    obstacles: Optional[Obstacles] = None,
+    num_particles: int = 1024,
+    impl: str = "jnp",
+    polish: int = 0,
+    timeit: bool = False,
+) -> TrackResult:
+    """Track S moving targets over T steps, fully on device.
+
+    The reference's animation loop re-solves every rendered frame as
+    the targets move, warm-starting each solve from the pose the
+    previous frame produced (reference Main.cpp:222-227: ToCUDA ->
+    calculatePSO -> FromCoords, with host marshaling between every
+    frame). Here the WHOLE trajectory is one jitted XLA program:
+    ``lax.scan`` over the T path steps with the solver in the body,
+    the solved pose chained as the next step's warm start and
+    locality anchor — S independent trajectories advance in lockstep
+    with zero host round-trips between frames.
+
+    Args:
+      path: ``(T, S, E, 3)`` target positions per step and trajectory.
+      polish: K LM steps per frame on each gbest, gated on the
+        locality-aware cost (pso/polish.py) so tracked motion stays
+        animation-smooth.
+      timeit: run the compiled program twice and report steady-state
+        wall time (first call includes compilation).
+    """
+    path = jnp.asarray(path, jnp.float32)
+    t = path.shape[0]
+    base = batched_problem(problem, path[0])
+    solver = _build_solver(spec, pso, fit, obstacles, num_particles, impl)
+    if polish:
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        solver = wrap_with_polish(
+            solver, spec, steps=polish,
+            locality_weight=float(np.asarray(fit.angle_weight))
+            / max(1, spec.dof // 3),
+        )
+
+    @jax.jit
+    def run(pose0, path, key):
+        keys = jax.random.split(key, t)
+
+        def body(pose, xs):
+            tgt, k = xs
+            res = solver(base.replace(pose=pose, targets=tgt), k)
+            return res.pose, (res.angles, res.effector_error)
+
+        final_pose, (angles, errors) = jax.lax.scan(
+            body, pose0, (path, keys)
+        )
+        return final_pose, angles, errors
+
+    start = time.perf_counter()
+    out = run(base.pose, path, key)
+    out = jax.block_until_ready(out)
+    wall = time.perf_counter() - start
+    if timeit:
+        start = time.perf_counter()
+        out = jax.block_until_ready(run(base.pose, path, key))
+        wall = time.perf_counter() - start
+    final_pose, angles, errors = out
+    errors_np = np.asarray(errors)
+    if not np.isfinite(errors_np).all():
+        import warnings
+
+        bad = int((~np.isfinite(errors_np)).sum())
+        warnings.warn(
+            f"track_trajectories: {bad} non-finite step errors",
+            stacklevel=2,
+        )
+    solves = int(t * path.shape[1])
+    return TrackResult(
+        angles=np.asarray(angles),
+        errors=errors_np,
+        final_pose=np.asarray(final_pose),
+        solves_per_second=solves / wall if wall > 0 else float("inf"),
+        wall_time_s=wall,
+    )
+
+
+def circle_paths(
+    targets: np.ndarray,
+    steps: int,
+    num_paths: int,
+    *,
+    radius: float = 0.25,
+    revolutions: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """(T, S, E, 3) circular target paths starting AT the base targets.
+
+    Each trajectory orbits every effector target around its base
+    position in the XY plane with a per-trajectory random phase, so the
+    S trajectories are decorrelated. Step 0 equals the base targets
+    (offset zero), matching the warm-start assumption that the initial
+    pose is near-solving.
+    """
+    targets = np.asarray(targets, np.float32)  # (E, 3)
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, size=(1, num_paths, 1))
+    theta = np.linspace(
+        0, 2 * np.pi * revolutions, steps, dtype=np.float64
+    )[:, None, None]
+    dx = radius * (np.cos(theta + phase) - np.cos(phase))
+    dy = radius * (np.sin(theta + phase) - np.sin(phase))
+    out = np.broadcast_to(
+        targets[None, None], (steps, num_paths) + targets.shape
+    ).copy()
+    out[..., 0] += dx
+    out[..., 1] += dy
+    return out.astype(np.float32)
+
+
 def solve_waypoints(
     spec: ChainSpec,
     problem: IKProblem,
@@ -70,18 +217,7 @@ def solve_waypoints(
         state = ckpt.fresh_state(w, dof, key)
 
     if mesh is None:
-        if impl == "fused":
-            from ikpso_tpu.pso.fused import make_fused_solver
-
-            solver = make_fused_solver(
-                spec, pso=pso, fit=fit, obstacles=obstacles,
-                num_particles=num_particles,
-            )
-        else:
-            solver = make_solver(
-                spec, pso=pso, fit=fit, obstacles=obstacles,
-                num_particles=num_particles,
-            )
+        solver = _build_solver(spec, pso, fit, obstacles, num_particles, impl)
     else:
         from ikpso_tpu.parallel.sharded import make_sharded_solver
 

@@ -233,3 +233,61 @@ def test_configio_roundtrips_new_pso_fields():
     assert cfg2.pso.inertia_end == 0.25
     assert cfg2.pso.gbest_interval == 2
     assert cfg2.pso.inertia_mode == "canonical"
+
+
+def test_track_trajectories_follows_moving_targets():
+    # Scan-chained tracking (reference Main.cpp frame loop, jitted
+    # whole): after the convergence transient, a slowly-orbiting
+    # target is followed to small error with smooth per-step motion,
+    # and the pose chain is consistent (final_pose matches the last
+    # step's angles).
+    import jax.numpy as jnp
+
+    from ikpso_tpu.harness.trajectory import circle_paths, track_trajectories
+    from ikpso_tpu.ops import fk as fk_ops
+
+    spec, problem = library.arm_7dof()
+    path = circle_paths(
+        np.asarray(problem.targets), steps=30, num_paths=4,
+        radius=0.2, revolutions=0.5, seed=1,
+    )
+    assert path.shape == (30, 4, 1, 3)
+    np.testing.assert_allclose(
+        path[0], np.broadcast_to(np.asarray(problem.targets), (4, 1, 3)),
+        atol=1e-6,
+    )
+    res = track_trajectories(
+        spec, problem, path, jax.random.key(0),
+        pso=PSOConfig(iterations=20, inertia_mode="canonical"),
+        fit=FitnessConfig(angle_weight=0.3),
+        num_particles=256, polish=3,
+    )
+    assert res.errors.shape == (30, 4)
+    assert res.angles.shape == (30, 4, spec.dof)
+    # Steady state: every path tracks to < 2cm from step 10 on.
+    assert res.errors[10:].max() < 2e-2
+    # Continuity: no step teleports a joint.
+    step_delta = np.abs(np.diff(res.angles, axis=0))
+    assert step_delta.max() < 1.0
+    # final_pose is the scan carry: consistent with the last angles.
+    expect = np.asarray(
+        fk_ops.angles_to_pose(
+            spec, jnp.asarray(res.final_pose)[..., 0, :],
+            jnp.asarray(res.angles[-1]),
+        )
+    )
+    np.testing.assert_allclose(res.final_pose, expect, atol=1e-6)
+
+
+def test_track_trajectories_deterministic():
+    from ikpso_tpu.harness.trajectory import circle_paths, track_trajectories
+
+    spec, problem = library.arm_7dof()
+    path = circle_paths(
+        np.asarray(problem.targets), steps=6, num_paths=2, seed=2,
+    )
+    kw = dict(pso=PSOConfig(iterations=10), num_particles=128)
+    r1 = track_trajectories(spec, problem, path, jax.random.key(7), **kw)
+    r2 = track_trajectories(spec, problem, path, jax.random.key(7), **kw)
+    np.testing.assert_array_equal(r1.angles, r2.angles)
+    np.testing.assert_array_equal(r1.errors, r2.errors)
