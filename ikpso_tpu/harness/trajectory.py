@@ -70,6 +70,7 @@ def track_trajectories(
     impl: str = "jnp",
     polish: int = 0,
     timeit: bool = False,
+    mesh=None,
 ) -> TrackResult:
     """Track S moving targets over T steps, fully on device.
 
@@ -90,11 +91,35 @@ def track_trajectories(
         animation-smooth.
       timeit: run the compiled program twice and report steady-state
         wall time (first call includes compilation).
+      mesh: optional device mesh — the trajectory (S) axis shards over
+        its swarm axis, so a pod tracks S·devices trajectories in the
+        same wall time; the scan chain stays per-shard (zero
+        cross-device communication between steps).
     """
     path = jnp.asarray(path, jnp.float32)
     t = path.shape[0]
     base = batched_problem(problem, path[0])
-    solver = _build_solver(spec, pso, fit, obstacles, num_particles, impl)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ikpso_tpu.parallel.mesh import SWARM_AXIS
+        from ikpso_tpu.parallel.sharded import make_sharded_solver
+
+        solver = make_sharded_solver(
+            spec, mesh, pso=pso, fit=fit, obstacles=obstacles,
+            num_particles=num_particles, impl=impl,
+        )
+        path = jax.device_put(
+            path,
+            NamedSharding(mesh, PartitionSpec(None, SWARM_AXIS)),
+        )
+        base = jax.device_put(
+            base, NamedSharding(mesh, PartitionSpec(SWARM_AXIS))
+        )
+    else:
+        solver = _build_solver(
+            spec, pso, fit, obstacles, num_particles, impl
+        )
     if polish:
         from ikpso_tpu.pso.polish import wrap_with_polish
 

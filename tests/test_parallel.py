@@ -153,3 +153,34 @@ def test_sharded_solver_composes_with_polish():
     ep = np.asarray(rp.effector_error)
     assert (ep <= eb + 1e-6).all()
     assert np.median(ep) < 1e-4
+
+
+def test_track_trajectories_on_swarm_mesh():
+    # Tracking with the S (trajectory) axis sharded over the 8-device
+    # mesh. RNG is re-keyed per shard (fold_in of the shard index, see
+    # solve_sharded), so trajectories differ from the unsharded run
+    # stream-wise — the contract is equal tracking QUALITY with the
+    # scan chain intact per shard.
+    from ikpso_tpu.harness.trajectory import circle_paths, track_trajectories
+
+    spec, problem = library.arm_7dof()
+    path = circle_paths(
+        np.asarray(problem.targets), steps=16, num_paths=8, seed=3,
+        radius=0.15, revolutions=0.25,
+    )
+    kw = dict(
+        pso=PSOConfig(iterations=15, inertia_mode="canonical"),
+        fit=FitnessConfig(angle_weight=0.3),
+        num_particles=256,
+    )
+    key = jax.random.key(5)
+    r_local = track_trajectories(spec, problem, path, key, **kw)
+    r_mesh = track_trajectories(
+        spec, problem, path, key, mesh=swarm_mesh(), **kw
+    )
+    assert r_mesh.errors.shape == r_local.errors.shape == (16, 8)
+    # Both settle to the same tracking quality.
+    assert r_mesh.errors[6:].max() < 5e-2
+    assert abs(
+        np.median(r_mesh.errors[6:]) - np.median(r_local.errors[6:])
+    ) < 2e-2
