@@ -312,15 +312,20 @@ def main() -> int:
     # mid-run velocity re-kick rescues prematurely-converged swarms at
     # zero throughput cost (docs/PERFORMANCE.md "Velocity re-kick";
     # out/bench_rekick.jsonl). 0 = off (untuned models).
-    fused_defaults = {  # model -> (particles, swarms_per_tile, iterations, rekick)
-        "arm_7dof": (128, 32, 40, 20),
-        "planar_3dof": (128, 32, 40, 20),
-        "arm_6dof": (128, 32, 40, 20),
-        "dual_arm_14dof": (1024, 2, 50, 25),
-        "reference_arm": (256, 4, 100, 0),
-        "snake_30dof": (256, 4, 60, 0),
+    # 5th element: default LM polish steps. The SoA polish core
+    # (pso/polish_soa.py) costs ~2 ms per 16k batch, letting PSO stop
+    # at basin-finding depth and LM finish: 16 iters + 4 polish steps
+    # beats 40 iters both ways (347.7k vs 250.6k solves/s, 99.74% vs
+    # 99.25% <1mm; out/bench_polish_soa.jsonl, docs/PERFORMANCE.md).
+    fused_defaults = {  # model -> (particles, swarms/tile, iters, rekick, polish)
+        "arm_7dof": (128, 32, 16, 8, 4),
+        "planar_3dof": (128, 32, 40, 20, 0),
+        "arm_6dof": (128, 32, 40, 20, 0),
+        "dual_arm_14dof": (1024, 2, 50, 25, 0),
+        "reference_arm": (256, 4, 100, 0, 0),
+        "snake_30dof": (256, 4, 60, 0, 0),
     }
-    dp, dsw, dit, drk = fused_defaults[args.model]
+    dp, dsw, dit, drk, dpol = fused_defaults[args.model]
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
@@ -339,7 +344,12 @@ def main() -> int:
         rekick_interval = drk
     else:
         rekick_interval = 0
-    polish = args.polish if args.polish is not None else 0
+    if args.polish is not None:
+        polish = args.polish
+    elif impl == "fused" and iterations == dit:
+        polish = dpol
+    else:
+        polish = 0
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
