@@ -163,7 +163,10 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         from ikpso_tpu.pso.polish import wrap_with_polish
 
         solver = wrap_with_polish(
-            solver, spec, steps=polish, use_orientation=orientation
+            solver, spec, steps=polish, use_orientation=orientation,
+            obstacles=obstacles,
+            collision_backend=fit.collision_backend,
+            gizmo_size=fit.gizmo_size,
         )
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver

@@ -192,6 +192,9 @@ def cmd_solve(args) -> int:
                 if use_orient
                 else 1.0
             ),
+            obstacles=cfg.obstacles,
+            collision_backend=cfg.fitness.collision_backend,
+            gizmo_size=cfg.fitness.gizmo_size,
         )
     batched = jax.tree.map(lambda x: x[None], cfg.problem)
     res = solver(batched, jax.random.key(args.seed))

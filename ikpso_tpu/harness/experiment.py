@@ -201,6 +201,9 @@ def frames_to_converge(
             solver, spec, steps=polish,
             locality_weight=float(np.asarray(fit.angle_weight))
             / (spec.dof // 3),
+            obstacles=obstacles,
+            collision_backend=fit.collision_backend,
+            gizmo_size=fit.gizmo_size,
         )
 
     frames = np.full((trials,), -1, np.int64)

@@ -127,6 +127,9 @@ def track_trajectories(
             solver, spec, steps=polish,
             locality_weight=float(np.asarray(fit.angle_weight))
             / max(1, spec.dof // 3),
+            obstacles=obstacles,
+            collision_backend=fit.collision_backend,
+            gizmo_size=fit.gizmo_size,
         )
 
     @jax.jit
@@ -258,7 +261,11 @@ def solve_waypoints(
     if polish:
         from ikpso_tpu.pso.polish import wrap_with_polish
 
-        solver = wrap_with_polish(solver, spec, steps=polish)
+        solver = wrap_with_polish(
+            solver, spec, steps=polish, obstacles=obstacles,
+            collision_backend=fit.collision_backend,
+            gizmo_size=fit.gizmo_size,
+        )
 
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver

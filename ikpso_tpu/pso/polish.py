@@ -344,6 +344,9 @@ def wrap_with_polish(
     orientation_weight: float = 1.0,
     init_damping: float = 1e-3,
     locality_weight: float = 0.0,
+    obstacles=None,
+    collision_backend: str = "sat",
+    gizmo_size: float = 0.2,
 ):
     """Wrap a ``(problem, key) -> SolveResult`` solver with LM polish.
 
@@ -356,7 +359,22 @@ def wrap_with_polish(
     locality, exactly as in the reference's fitness). ``fitness`` and
     ``trace`` keep the PSO values (they describe the swarm run, not
     the polished point).
+
+    The LM objective knows nothing about colliders, so with
+    ``obstacles`` given the gate additionally requires the polished
+    pose to be collision-free (the same joint-gizmo/link-box test the
+    fitness uses, reference kernel.cu:104-136) — a polish step can
+    never move a feasible PSO answer into an obstacle.
     """
+    if obstacles is not None:
+        if collision_backend == "gjk":
+            from ikpso_tpu.ops.gjk import chain_collides_gjk as _collides
+        elif collision_backend == "sat":
+            from ikpso_tpu.ops.collision import chain_collides as _collides
+        else:
+            raise ValueError(
+                f"unknown collision_backend {collision_backend!r}"
+            )
 
     @jax.jit
     def _solve(problem: IKProblem, key: jnp.ndarray):
@@ -381,6 +399,19 @@ def wrap_with_polish(
             take = cost(x) <= cost(base.angles)
         else:
             take = err <= base.effector_error
+        if obstacles is not None:
+            pos, rot = fk_ops.fk(spec, pose, problem.origin)
+            hit = _collides(
+                pos[..., 1:, :],
+                rot[..., 1:, :, :],
+                pos[..., list(spec.parent[1:]), :],
+                spec.length[1:],
+                obstacles.center,
+                obstacles.half_extent,
+                obstacles.rot,
+                gizmo_size=gizmo_size,
+            )
+            take = take & ~hit
         return dataclasses.replace(
             base,
             angles=jnp.where(take[..., None], x, base.angles),

@@ -229,3 +229,55 @@ def test_soa_path_matches_general_path():
         # Same convergence quality (trajectories may split at FP ties).
         assert abs(np.median(err_s) - np.median(err_g)) < 1e-4, model
         assert np.percentile(err_s, 50) < 1e-4, model
+
+
+def test_polish_gate_rejects_colliding_refinement():
+    # The LM objective is blind to obstacles; with obstacles passed to
+    # wrap_with_polish the accept gate must reject a polished pose
+    # that enters a collider, keeping the feasible PSO answer.
+    from ikpso_tpu.models.chain import Obstacles
+    from ikpso_tpu.pso.solver import SolveResult
+
+    spec, problem = library.planar_3dof(target=(2.5, 0.0, 0.0))
+    # A box sitting on the target: reaching closer collides the
+    # effector-node gizmo.
+    obs = Obstacles.from_boxes(
+        centers=np.array([[2.5, 0.0, 0.0]], np.float32),
+        full_dims=np.array([[0.8, 0.8, 0.8]], np.float32),
+    )
+    s = 4
+    batched = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (s,) + a.shape), problem
+    )
+    # Feasible start: arm bent well away from the box (DOF vector is
+    # node-major 3-per-node; only the Z axes are articulated).
+    one = np.zeros((spec.dof,), np.float32)
+    one[[2, 5, 8]] = (0.9, 0.6, 0.3)
+    start = jnp.broadcast_to(jnp.asarray(one), (s, spec.dof))
+    pose0 = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], start)
+    batched = batched.replace(pose=pose0)
+
+    def fake_solver(prob, key):
+        angles = fk_ops.pose_to_angles(spec, prob.pose)
+        err = true_effector_error(spec, prob.pose, prob)
+        return SolveResult(
+            angles=angles, fitness=err, pose=prob.pose,
+            effector_error=err, trace=err[None],
+        )
+
+    from ikpso_tpu.pso.polish import wrap_with_polish
+
+    free = wrap_with_polish(fake_solver, spec, steps=5)(
+        batched, jax.random.key(0)
+    )
+    gated = wrap_with_polish(fake_solver, spec, steps=5, obstacles=obs)(
+        batched, jax.random.key(0)
+    )
+    base_err = np.asarray(true_effector_error(spec, pose0, batched))
+    # Ungated polish would chase the target (improves error)...
+    assert (np.asarray(free.effector_error) < base_err - 0.05).all()
+    # ...but the polished pose collides, so the gate keeps the base.
+    np.testing.assert_array_equal(np.asarray(gated.angles), np.asarray(start))
+    np.testing.assert_allclose(
+        np.asarray(gated.effector_error), base_err, rtol=1e-6
+    )
