@@ -324,9 +324,9 @@ def main() -> int:
         "arm_7dof": (128, 32, 16, 8, 4),
         "planar_3dof": (128, 32, 40, 20, 0),
         "arm_6dof": (128, 32, 40, 20, 0),
-        "dual_arm_14dof": (1024, 2, 50, 25, 0),
+        "dual_arm_14dof": (1024, 2, 30, 15, 4),
         "reference_arm": (256, 4, 100, 0, 0),
-        "snake_30dof": (256, 4, 60, 0, 0),
+        "snake_30dof": (256, 4, 30, 15, 4),
     }
     dp, dsw, dit, drk, dpol = fused_defaults[args.model]
     particles = args.particles or (dp if impl == "fused" else 1024)

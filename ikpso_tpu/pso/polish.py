@@ -223,16 +223,17 @@ def polish_angles(
       ``(S, D)`` refined angles, clipped to joint limits; each swarm's
       residual norm is non-increasing (rejected steps keep ``x``).
     """
-    if soa and not use_orientation and not locality_weight:
-        # Fast path: the position-only residual has a fully-unrolled
-        # structure-of-arrays implementation where swarms occupy the
-        # TPU lane axis (pso/polish_soa.py) — ~40x the throughput of
-        # the tensor-shaped math below at bench scale, identical
-        # semantics to float rounding.
+    if soa and not use_orientation:
+        # Fast path: the position(+locality) residual has a
+        # fully-unrolled structure-of-arrays implementation where
+        # swarms occupy the TPU lane axis (pso/polish_soa.py) — ~40x
+        # the throughput of the tensor-shaped math below at bench
+        # scale, identical semantics to float rounding.
         from ikpso_tpu.pso.polish_soa import polish_angles_soa
 
         return polish_angles_soa(
-            spec, problem, angles, steps=steps, init_damping=init_damping
+            spec, problem, angles, steps=steps,
+            init_damping=init_damping, locality_weight=locality_weight,
         )
 
     lo = spec.min_rotation[1:].reshape(-1)

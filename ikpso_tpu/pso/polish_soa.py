@@ -13,9 +13,11 @@ VPU op, and there are no strided slices. The FK composes rotation
 components elementwise (exact f32, same as the Pallas kernels — no
 MXU rounding), so results match pso/polish.py to float rounding.
 
-Covers the position-only residual (any effector count, ancestry-
-masked trees). Orientation / locality rows take the general path —
-``pso.polish.polish_angles`` dispatches automatically.
+Covers the position residual with optional Tikhonov locality rows
+(any effector count, ancestry-masked trees); locality switches the
+normal equations from the dual (M, M) to the primal (D, D) form.
+Orientation rows take the general path — ``pso.polish.polish_angles``
+dispatches automatically.
 """
 
 from __future__ import annotations
@@ -151,15 +153,25 @@ def polish_angles_soa(
     *,
     steps: int,
     init_damping: float,
+    locality_weight: float = 0.0,
 ) -> jnp.ndarray:
     """Position-only LM polish, SoA-unrolled. See pso/polish.py.
 
-    Semantics match ``polish_angles(use_orientation=False,
-    locality_weight=0)`` to float rounding: same damping race, same
-    gradient-projection active set, same accept gate. The step body is
-    pure (S,)-row arithmetic; ``lax.scan`` carries ``(x, lam)`` across
-    steps so the (large, fully-unrolled) body is traced and compiled
-    once regardless of the step count.
+    Semantics match ``polish_angles(use_orientation=False)`` to float
+    rounding: same damping race, same gradient-projection active set,
+    same accept gate. The step body is pure (S,)-row arithmetic;
+    ``lax.scan`` carries ``(x, lam)`` across steps so the (large,
+    fully-unrolled) body is traced and compiled once regardless of the
+    step count.
+
+    Without locality the normal equations are solved in the dual (M,M)
+    form (M = 3E < D for the usual redundant arm). With
+    ``locality_weight`` the Tikhonov rows make the system full-rank in
+    D-space, so the primal (D,D) form is used: ``A = J^T J + w·keep +
+    lam``, ``g = J^T r + w (x - anchor)`` — matching the general
+    path's ``m > d`` branch (pso/polish.py) including its use of the
+    unprojected gradient (pinned coordinates are restored by the
+    clip).
     """
     d = spec.dof
     eff = list(spec.effector_idx)
@@ -186,10 +198,22 @@ def polish_angles_soa(
 
     s_shape = xT[0].shape
     lam0 = jnp.full(s_shape, init_damping, angles.dtype)
+    lw = float(locality_weight)
+    anchor = [
+        problem.pose[..., 1 + k // 3, k % 3] for k in range(d)
+    ] if lw else None
 
     def residual_at(x_rows):
         pos, _, _ = _fk_rows(spec, x_rows, root_rows, origin_rows)
         return _residual_rows(spec, pos, targets_rows, w_sqrt)
+
+    def total_err2(x_rows, r_rows):
+        s = _err2_rows(r_rows)
+        if lw:
+            for k in range(d):
+                dk = x_rows[k] - anchor[k]
+                s = s + lw * dk * dk
+        return s
 
     def lm_step(carry, _):
         xs, lam = carry
@@ -238,53 +262,88 @@ def polish_angles_soa(
 
         # Gradient-projection active set: zero columns of locked dims
         # (min == max) and of coords pinned at a bound being pushed
-        # outward. Limits are traced, so masking is arithmetic.
+        # outward. Limits are traced, so masking is arithmetic. The
+        # (unprojected) gradient includes the locality pull.
+        g0 = [None] * d
+        keep_row = [None] * d
         for kcol in range(d):
-            g0 = jac[0][kcol] * r[0]
+            g = jac[0][kcol] * r[0]
             for i in range(1, m):
-                g0 = g0 + jac[i][kcol] * r[i]
-            pinned = ((x[kcol] <= lo[kcol] + 1e-7) & (g0 > 0)) | (
-                (x[kcol] >= hi[kcol] - 1e-7) & (g0 < 0)
+                g = g + jac[i][kcol] * r[i]
+            if lw:
+                g = g + lw * (x[kcol] - anchor[kcol])
+            g0[kcol] = g
+            pinned = ((x[kcol] <= lo[kcol] + 1e-7) & (g > 0)) | (
+                (x[kcol] >= hi[kcol] - 1e-7) & (g < 0)
             )
             keep = (~pinned & free_dim[kcol]).astype(angles.dtype)
+            keep_row[kcol] = keep
             for i in range(m):
                 jac[i][kcol] = jac[i][kcol] * keep
 
-        # J J^T entries (symmetric M x M of rows).
-        jjt = [[None] * m for _ in range(m)]
-        for i in range(m):
-            for jr in range(i + 1):
-                s = jac[i][0] * jac[jr][0]
-                for kcol in range(1, d):
-                    s = s + jac[i][kcol] * jac[jr][kcol]
-                jjt[i][jr] = s
-                jjt[jr][i] = s
+        if lw:
+            # Primal (D, D) normal matrix: J^T J + w on kept diagonals.
+            h = [[None] * d for _ in range(d)]
+            for kcol in range(d):
+                for lcol in range(kcol + 1):
+                    s = jac[0][kcol] * jac[0][lcol]
+                    for i in range(1, m):
+                        s = s + jac[i][kcol] * jac[i][lcol]
+                    if kcol == lcol:
+                        s = s + lw * keep_row[kcol]
+                    h[kcol][lcol] = s
+                    h[lcol][kcol] = s
+        else:
+            # Dual: J J^T entries (symmetric M x M of rows).
+            jjt = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for jr in range(i + 1):
+                    s = jac[i][0] * jac[jr][0]
+                    for kcol in range(1, d):
+                        s = s + jac[i][kcol] * jac[jr][kcol]
+                    jjt[i][jr] = s
+                    jjt[jr][i] = s
 
-        err_cur = _err2_rows(r)
+        err_cur = total_err2(x, r)
 
         # Damping race: 0.1/1/10x lambda candidates, keep the best.
         cand_x = []
         cand_e = []
         for mult in (0.1, 1.0, 10.0):
             lam_k = lam * mult
-            a = [
-                [
-                    jjt[i][jr] + lam_k if i == jr else jjt[i][jr]
-                    for jr in range(m)
-                ]
-                for i in range(m)
-            ]
-            y = _chol_solve_rows(a, r)
             xn = []
-            for kcol in range(d):
-                dxk = jac[0][kcol] * y[0]
-                for i in range(1, m):
-                    dxk = dxk + jac[i][kcol] * y[i]
-                xn.append(
-                    jnp.clip(x[kcol] - dxk, lo[kcol], hi[kcol])
-                )
+            if lw:
+                a = [
+                    [
+                        h[kcol][lcol] + lam_k if kcol == lcol
+                        else h[kcol][lcol]
+                        for lcol in range(d)
+                    ]
+                    for kcol in range(d)
+                ]
+                dx = _chol_solve_rows(a, g0)
+                for kcol in range(d):
+                    xn.append(
+                        jnp.clip(x[kcol] - dx[kcol], lo[kcol], hi[kcol])
+                    )
+            else:
+                a = [
+                    [
+                        jjt[i][jr] + lam_k if i == jr else jjt[i][jr]
+                        for jr in range(m)
+                    ]
+                    for i in range(m)
+                ]
+                y = _chol_solve_rows(a, r)
+                for kcol in range(d):
+                    dxk = jac[0][kcol] * y[0]
+                    for i in range(1, m):
+                        dxk = dxk + jac[i][kcol] * y[i]
+                    xn.append(
+                        jnp.clip(x[kcol] - dxk, lo[kcol], hi[kcol])
+                    )
             cand_x.append(xn)
-            cand_e.append(_err2_rows(residual_at(xn)))
+            cand_e.append(total_err2(xn, residual_at(xn)))
 
         e01 = jnp.minimum(cand_e[0], cand_e[1])
         ebest = jnp.minimum(e01, cand_e[2])

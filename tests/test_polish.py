@@ -281,3 +281,47 @@ def test_polish_gate_rejects_colliding_refinement():
     np.testing.assert_allclose(
         np.asarray(gated.effector_error), base_err, rtol=1e-6
     )
+
+
+def test_soa_locality_matches_general_path():
+    # With locality rows the SoA core switches to the primal (D, D)
+    # normal equations; it must match the general tensor path (both
+    # use the unprojected gradient + clip). One step from identical
+    # starts agrees to float rounding; multi-step runs agree on the
+    # combined cost they minimize.
+    import ikpso_tpu.pso.polish as polish_mod
+    from ikpso_tpu.pso.polish import residual_cost
+    from ikpso_tpu.pso.polish_soa import polish_angles_soa
+
+    for model in ("arm_7dof", "reference_arm"):
+        spec, problem = getattr(library, model)()
+        batched, start = _perturbed_batch(
+            spec, problem, jax.random.key(13), s=32, scale=0.2
+        )
+        w = 0.4
+        x1s = polish_angles_soa(
+            spec, batched, start, steps=1, init_damping=1e-3,
+            locality_weight=w,
+        )
+        x1g = polish_mod.polish_angles(
+            spec, batched, start, steps=1, soa=False, locality_weight=w
+        )
+        np.testing.assert_allclose(
+            np.asarray(x1s), np.asarray(x1g), atol=2e-4, err_msg=model
+        )
+        xs = polish_angles_soa(
+            spec, batched, start, steps=6, init_damping=1e-3,
+            locality_weight=w,
+        )
+        xg = polish_mod.polish_angles(
+            spec, batched, start, steps=6, soa=False, locality_weight=w
+        )
+        cs = np.asarray(residual_cost(spec, batched, xs, locality_weight=w))
+        cg = np.asarray(residual_cost(spec, batched, xg, locality_weight=w))
+        c0 = np.asarray(
+            residual_cost(spec, batched, start, locality_weight=w)
+        )
+        assert (cs <= c0 + 1e-6).all(), model
+        # Multi-step trajectories may split at FP ties; medians of the
+        # minimized cost stay equivalent.
+        assert abs(np.median(cs) - np.median(cg)) < 1e-3, model
