@@ -237,10 +237,11 @@ def main() -> int:
     )
     parser.add_argument(
         "--model",
-        choices=("arm_7dof", "planar_3dof", "arm_6dof", "dual_arm_14dof",
-                 "reference_arm", "snake_30dof"),
+        choices=None,
+        metavar="MODEL",
         default="arm_7dof",
-        help="BASELINE.md config to benchmark (headline: arm_7dof)",
+        help="BASELINE.md config to benchmark (headline: arm_7dof); "
+        "model-zoo name or 'snake:<links>' for arbitrary chain depth",
     )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument(
@@ -328,7 +329,14 @@ def main() -> int:
         "reference_arm": (256, 4, 100, 0, 0),
         "snake_30dof": (256, 4, 30, 15, 4),
     }
-    dp, dsw, dit, drk, dpol = fused_defaults[args.model]
+    # snake:<links> shares the tuned snake_30dof recipe.
+    defaults_key = "snake_30dof" if args.model.startswith("snake:") else args.model
+    if defaults_key not in fused_defaults:
+        raise SystemExit(
+            f"error: unknown model {args.model!r}; expected one of "
+            f"{sorted(fused_defaults)} or 'snake:<links>'"
+        )
+    dp, dsw, dit, drk, dpol = fused_defaults[defaults_key]
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
@@ -357,7 +365,10 @@ def main() -> int:
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
 
-    spec, problem = getattr(library, args.model)()
+    if args.model.startswith("snake:"):
+        spec, problem = library.snake(int(args.model.split(":", 1)[1]))
+    else:
+        spec, problem = getattr(library, args.model)()
     obstacles = _obstacle_scene(spec, args.obstacles) if args.obstacles else None
     with trace(args.profile):
         stats = _target_p50_under_1mm(
@@ -382,7 +393,7 @@ def main() -> int:
     metric = (
         "7dof_ik_solves_per_s_per_chip"
         if args.model == "arm_7dof"
-        else f"{args.model}_ik_solves_per_s_per_chip"
+        else f"{args.model.replace(':', '')}_ik_solves_per_s_per_chip"
     )
     record = {
         "metric": metric,

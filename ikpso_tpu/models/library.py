@@ -147,22 +147,32 @@ def arm_7dof(target=(1.0, 1.2, -0.8)) -> Tuple[ChainSpec, IKProblem]:
     return spec, _problem(pose, [target])
 
 
-def snake_30dof(target=(4.0, 3.0, 2.0)) -> Tuple[ChainSpec, IKProblem]:
-    """Long-chain stress model: 10 spherical links, 30 articulated DOF.
+def snake(num_links: int) -> Tuple[ChainSpec, IKProblem]:
+    """Long-chain family: ``num_links`` spherical links (3 DOF each).
 
     The reference's stated goal is "arbitrarily large kinematic
     chains" (reference Documentation/Iteration_1/Raport.tex:36), but
     its DOF is a compile-time constant (reference ik_constants.h:3) —
-    changing it means recompiling. Here topology is runtime data: this
-    model exercises deep chains through the same solvers, and is the
-    natural consumer of the log-depth ``ops.fk.fk_serial_scan`` path.
+    changing it means recompiling. Here topology is runtime data: any
+    depth runs through the same solvers (``snake:<links>`` in configs
+    and bench), and deep chains are the natural consumer of the
+    log-depth ``ops.fk.fk_serial_scan`` path.
     +-pi/2 per-axis limits keep the redundant chain well-conditioned;
-    a small initial bend avoids the straight-line singular start.
+    a small initial bend avoids the straight-line singular start; the
+    target sits at half reach so every depth is solvable.
     """
+    reach = float(num_links)
     return serial_chain(
-        10, link_length=1.0, free_axes=(0, 1, 2),
-        limit=PI / 2, target=target, initial_bend=0.1,
+        num_links, link_length=1.0, free_axes=(0, 1, 2),
+        limit=PI / 2,
+        target=(0.4 * reach, 0.3 * reach, 0.2 * reach),
+        initial_bend=0.1,
     )
+
+
+def snake_30dof() -> Tuple[ChainSpec, IKProblem]:
+    """10-link instance of :func:`snake` (30 articulated DOF)."""
+    return snake(10)
 
 
 def dual_arm_14dof(

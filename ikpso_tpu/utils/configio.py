@@ -67,9 +67,15 @@ def _dataclass_from_dict(cls, data: Dict[str, Any]):
 
 def _model_from_config(model) -> Tuple[ChainSpec, IKProblem]:
     if isinstance(model, str):
+        if model.startswith("snake:"):
+            # Parameterized long-chain family: "snake:<links>" — any
+            # chain depth without recompiling (vs the reference's
+            # compile-time DOF, ik_constants.h:3).
+            return library.snake(int(model.split(":", 1)[1]))
         if model not in _MODELS:
             raise ValueError(
-                f"unknown model {model!r}; available: {sorted(_MODELS)}"
+                f"unknown model {model!r}; available: "
+                f"{sorted(_MODELS)} or 'snake:<links>'"
             )
         return _MODELS[model]()
     spec = make_chain_spec(

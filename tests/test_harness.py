@@ -291,3 +291,18 @@ def test_track_trajectories_deterministic():
     r2 = track_trajectories(spec, problem, path, jax.random.key(7), **kw)
     np.testing.assert_array_equal(r1.angles, r2.angles)
     np.testing.assert_array_equal(r1.errors, r2.errors)
+
+
+def test_configio_parameterized_snake_model():
+    # "snake:<links>" builds any chain depth at runtime — the
+    # reference's compile-time DOF (ik_constants.h:3) as data.
+    from ikpso_tpu.utils.configio import load_config
+
+    cfg = load_config({"model": "snake:7"})
+    assert cfg.spec.dof == 21
+    assert cfg.spec.num_nodes == 8
+    cfg30 = load_config({"model": "snake:10"})
+    spec30, _ = library.snake_30dof()
+    assert cfg30.spec.dof == spec30.dof == 30
+    with pytest.raises(ValueError, match="snake"):
+        load_config({"model": "nonexistent_model"})
