@@ -299,6 +299,14 @@ def main() -> int:
     impl = args.impl
     if impl == "auto":
         impl = "fused" if platform == "tpu" else "jnp"
+    if (
+        impl == "fused"
+        and args.model.startswith("snake:")
+        and 3 * int(args.model.split(":", 1)[1]) > 128
+    ):
+        # The megakernel's gbest row is one 128-lane vector (dof <=
+        # 128); deeper chains take the lax.scan solver.
+        impl = "jnp"
     # Canonical inertia with a 0.5 -> 0.2 decay converges much tighter
     # than the reference's randomized mode (p90 0.07mm vs 22mm) and in
     # fewer iterations (20 vs 60); randomized stays available for

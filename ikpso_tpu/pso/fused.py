@@ -521,6 +521,13 @@ def make_fused_solver(
     convergence-analysis tool; ``trace`` here has one entry: the final
     gbest fitness).
     """
+    if spec.dof > 128:
+        raise ValueError(
+            f"fused megakernel supports dof <= 128 (the gbest "
+            f"coordinates leave the kernel as one 128-lane vector row); "
+            f"got dof={spec.dof} — use the lax.scan solver "
+            f"(impl='jnp') for deeper chains"
+        )
     if pso.init_mode != "warm":
         raise ValueError(
             "the fused megakernel implements warm-start init only; use the "

@@ -189,7 +189,10 @@ def residual_cost(
 
 @partial(
     jax.jit,
-    static_argnames=("steps", "use_orientation", "locality_weight", "soa"),
+    static_argnames=(
+        "steps", "use_orientation", "orientation_weight",
+        "locality_weight", "soa",
+    ),
 )
 def polish_angles(
     spec: ChainSpec,
@@ -223,17 +226,21 @@ def polish_angles(
       ``(S, D)`` refined angles, clipped to joint limits; each swarm's
       residual norm is non-increasing (rejected steps keep ``x``).
     """
-    if soa and not use_orientation:
-        # Fast path: the position(+locality) residual has a
-        # fully-unrolled structure-of-arrays implementation where
-        # swarms occupy the TPU lane axis (pso/polish_soa.py) — ~40x
-        # the throughput of the tensor-shaped math below at bench
-        # scale, identical semantics to float rounding.
+    if soa:
+        # Fast path: the residual (position, optional orientation and
+        # locality rows) has a fully-unrolled structure-of-arrays
+        # implementation where swarms occupy the TPU lane axis
+        # (pso/polish_soa.py) — ~40x the throughput of the
+        # tensor-shaped math below at bench scale, identical semantics
+        # to float rounding. The tensor path below remains the oracle
+        # (tests/test_polish.py equivalence suites).
         from ikpso_tpu.pso.polish_soa import polish_angles_soa
 
         return polish_angles_soa(
             spec, problem, angles, steps=steps,
             init_damping=init_damping, locality_weight=locality_weight,
+            use_orientation=use_orientation,
+            orientation_weight=orientation_weight,
         )
 
     lo = spec.min_rotation[1:].reshape(-1)

@@ -154,6 +154,8 @@ def polish_angles_soa(
     steps: int,
     init_damping: float,
     locality_weight: float = 0.0,
+    use_orientation: bool = False,
+    orientation_weight: float = 1.0,
 ) -> jnp.ndarray:
     """Position-only LM polish, SoA-unrolled. See pso/polish.py.
 
@@ -164,19 +166,21 @@ def polish_angles_soa(
     fully-unrolled) body is traced and compiled once regardless of the
     step count.
 
-    Without locality the normal equations are solved in the dual (M,M)
-    form (M = 3E < D for the usual redundant arm). With
-    ``locality_weight`` the Tikhonov rows make the system full-rank in
-    D-space, so the primal (D,D) form is used: ``A = J^T J + w·keep +
-    lam``, ``g = J^T r + w (x - anchor)`` — matching the general
-    path's ``m > d`` branch (pso/polish.py) including its use of the
-    unprojected gradient (pinned coordinates are restored by the
-    clip).
+    Without locality and with few residual rows (M <= D) the normal
+    equations are solved in the dual (M,M) form. With
+    ``locality_weight`` (Tikhonov rows make the system full-rank in
+    D-space) or M > D, the primal (D,D) form is used: ``A = J^T J +
+    w·keep + lam``, ``g = J^T r + w (x - anchor)`` — matching the
+    general path's ``m > d`` branch (pso/polish.py) including its use
+    of the unprojected gradient (pinned coordinates are restored by
+    the clip). ``use_orientation`` adds the three world rotation-vector
+    rows per effector (``0.5 vee(R Rt^T)``, Jacobian = world joint
+    axes — ops/jacobian.py orientation rows) in scalar-row form.
     """
     d = spec.dof
     eff = list(spec.effector_idx)
     e_count = len(eff)
-    m = 3 * e_count
+    m = 3 * e_count * (2 if use_orientation else 1)
     lo_flat = spec.min_rotation[1:].reshape(-1)
     hi_flat = spec.max_rotation[1:].reshape(-1)
     lo = [lo_flat[k] for k in range(d)]
@@ -202,10 +206,42 @@ def polish_angles_soa(
     anchor = [
         problem.pose[..., 1 + k // 3, k % 3] for k in range(d)
     ] if lw else None
+    wo = float(orientation_weight) ** 0.5 if use_orientation else 0.0
+    if use_orientation:
+        # Target rotations as 9-component rows (constant across steps).
+        rt_rows = [
+            _euler_rows(
+                problem.target_rot[..., ei, 0],
+                problem.target_rot[..., ei, 1],
+                problem.target_rot[..., ei, 2],
+            )[0]
+            for ei in range(e_count)
+        ]
+
+    def residual_rows_of(pos, rot):
+        rows = _residual_rows(spec, pos, targets_rows, w_sqrt)
+        if use_orientation:
+            for ei, node in enumerate(eff):
+                re, rtm = rot[node], rt_rows[ei]
+                # m = R_fk @ Rt^T, row-major 9-lists:
+                # m[i][j] = sum_k re[3i+k] * rtm[3j+k].
+                mm = [
+                    [
+                        re[3 * i + 0] * rtm[3 * j + 0]
+                        + re[3 * i + 1] * rtm[3 * j + 1]
+                        + re[3 * i + 2] * rtm[3 * j + 2]
+                        for j in range(3)
+                    ]
+                    for i in range(3)
+                ]
+                rows.append(wo * 0.5 * (mm[2][1] - mm[1][2]))
+                rows.append(wo * 0.5 * (mm[0][2] - mm[2][0]))
+                rows.append(wo * 0.5 * (mm[1][0] - mm[0][1]))
+        return rows
 
     def residual_at(x_rows):
-        pos, _, _ = _fk_rows(spec, x_rows, root_rows, origin_rows)
-        return _residual_rows(spec, pos, targets_rows, w_sqrt)
+        pos, rot, _ = _fk_rows(spec, x_rows, root_rows, origin_rows)
+        return residual_rows_of(pos, rot)
 
     def total_err2(x_rows, r_rows):
         s = _err2_rows(r_rows)
@@ -219,7 +255,7 @@ def polish_angles_soa(
         xs, lam = carry
         x = [xs[k] for k in range(d)]
         pos, rot, cxsx = _fk_rows(spec, x, root_rows, origin_rows)
-        r = _residual_rows(spec, pos, targets_rows, w_sqrt)
+        r = residual_rows_of(pos, rot)
 
         # Jacobian rows J[i][dof]: world joint axes x pivot offsets
         # (ops/jacobian.py in scalar rows).
@@ -253,6 +289,12 @@ def polish_angles_soa(
                     jac[3 * ei + 0][col] = we * cxv
                     jac[3 * ei + 1][col] = we * cyv
                     jac[3 * ei + 2][col] = we * czv
+                    if use_orientation:
+                        # Rotation-vector rows: J = world joint axis.
+                        base_row = 3 * e_count + 3 * ei
+                        jac[base_row + 0][col] = wo * wx
+                        jac[base_row + 1][col] = wo * wy
+                        jac[base_row + 2][col] = wo * wz
 
         zero = jnp.zeros(s_shape, angles.dtype)
         for i in range(m):
@@ -281,7 +323,8 @@ def polish_angles_soa(
             for i in range(m):
                 jac[i][kcol] = jac[i][kcol] * keep
 
-        if lw:
+        primal = bool(lw) or m > d
+        if primal:
             # Primal (D, D) normal matrix: J^T J + w on kept diagonals.
             h = [[None] * d for _ in range(d)]
             for kcol in range(d):
@@ -289,7 +332,7 @@ def polish_angles_soa(
                     s = jac[0][kcol] * jac[0][lcol]
                     for i in range(1, m):
                         s = s + jac[i][kcol] * jac[i][lcol]
-                    if kcol == lcol:
+                    if kcol == lcol and lw:
                         s = s + lw * keep_row[kcol]
                     h[kcol][lcol] = s
                     h[lcol][kcol] = s
@@ -312,7 +355,7 @@ def polish_angles_soa(
         for mult in (0.1, 1.0, 10.0):
             lam_k = lam * mult
             xn = []
-            if lw:
+            if primal:
                 a = [
                     [
                         h[kcol][lcol] + lam_k if kcol == lcol

@@ -325,3 +325,61 @@ def test_soa_locality_matches_general_path():
         # Multi-step trajectories may split at FP ties; medians of the
         # minimized cost stay equivalent.
         assert abs(np.median(cs) - np.median(cg)) < 1e-3, model
+
+
+def test_soa_orientation_matches_general_path():
+    # Orientation rows in the SoA core (world rotation-vector residual
+    # + joint-axis Jacobian rows) vs the general tensor path.
+    import ikpso_tpu.pso.polish as polish_mod
+    from ikpso_tpu.pso.polish_soa import polish_angles_soa
+    from ikpso_tpu.ops.rotations import (
+        matrix_to_quaternion, quaternion_to_euler_xyz,
+    )
+
+    spec, problem = library.arm_7dof()
+    s = 32
+    k1, k2 = jax.random.split(jax.random.key(17))
+    lo = spec.min_rotation[1:].reshape(-1)
+    hi = spec.max_rotation[1:].reshape(-1)
+    true_angles = jax.random.uniform(
+        k1, (s, spec.dof), minval=0.8 * lo, maxval=0.8 * hi,
+        dtype=jnp.float32,
+    )
+    pose = fk_ops.angles_to_pose(
+        spec, jnp.broadcast_to(problem.pose[0], (s, 3)), true_angles
+    )
+    pos, rot = fk_ops.fk(spec, pose, problem.origin)
+    eff = list(spec.effector_idx)
+    batched = library.batched_problem(
+        problem,
+        pos[:, eff, :],
+        target_rot=quaternion_to_euler_xyz(
+            matrix_to_quaternion(rot[:, eff])
+        ),
+    )
+    start = jnp.clip(
+        true_angles + 0.1 * jax.random.normal(k2, true_angles.shape),
+        lo, hi,
+    )
+    x1s = polish_angles_soa(
+        spec, batched, start, steps=1, init_damping=1e-3,
+        use_orientation=True, orientation_weight=0.5,
+    )
+    x1g = polish_mod.polish_angles(
+        spec, batched, start, steps=1, soa=False,
+        use_orientation=True, orientation_weight=0.5,
+    )
+    np.testing.assert_allclose(np.asarray(x1s), np.asarray(x1g), atol=2e-4)
+    # Multi-step: both reach sub-0.1mm position + sub-degree rotation.
+    xs = polish_angles_soa(
+        spec, batched, start, steps=8, init_damping=1e-3,
+        use_orientation=True, orientation_weight=0.5,
+    )
+    pose1 = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], xs)
+    perr = np.asarray(true_effector_error(spec, pose1, batched))
+    rot1 = fk_ops.fk(spec, pose1, batched.origin)[1][:, eff]
+    rt = euler_xyz_to_matrix(batched.target_rot)
+    tr = np.asarray(jnp.einsum("seij,seij->se", rot1, rt))
+    geo = np.degrees(np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0)))
+    assert np.percentile(perr, 50) < 1e-4
+    assert np.percentile(geo.max(axis=-1), 50) < 0.1
