@@ -332,7 +332,7 @@ def main() -> int:
     fused_defaults = {  # model -> (particles, swarms/tile, iters, rekick, polish)
         "arm_7dof": (128, 32, 16, 8, 4),
         "planar_3dof": (128, 32, 40, 20, 0),
-        "arm_6dof": (128, 32, 40, 20, 0),
+        "arm_6dof": (128, 32, 40, 20, 4),
         "dual_arm_14dof": (1024, 2, 30, 15, 4),
         "reference_arm": (256, 4, 100, 0, 0),
         "snake_30dof": (256, 4, 30, 15, 4),
@@ -351,6 +351,11 @@ def main() -> int:
     elif impl == "fused":
         # Keep the measured tile height when particles are overridden.
         swarms_per_tile = max(1, (dp * dsw) // particles)
+        if args.obstacles:
+            # The SAT term's per-band scratch pushes the (32,128) tile
+            # past the 16 MB scoped-VMEM budget (measured 22.3 MB at 4
+            # boxes); half-height tiles fit.
+            swarms_per_tile = min(swarms_per_tile, 16)
     else:
         swarms_per_tile = 1
     default_iters = dit if impl == "fused" else (
