@@ -62,6 +62,12 @@ def _add_common(p):
         "through the differentiable FK (accept-if-better; 0 = off)",
     )
     p.add_argument(
+        "--swarms-per-tile", type=int, default=1,
+        help="fused-solver swarm packing per kernel tile (batch size "
+        "must divide evenly; the measured 7-DOF frontier is 32 at "
+        "P=128 — see bench.py defaults)",
+    )
+    p.add_argument(
         "--impl",
         choices=("auto", "jnp", "fused"),
         default="auto",
@@ -164,6 +170,7 @@ def cmd_solve(args) -> int:
             fit=cfg.fitness,
             obstacles=cfg.obstacles,
             num_particles=cfg.num_particles,
+            swarms_per_tile=args.swarms_per_tile,
         )
     else:
         from ikpso_tpu.pso.solver import make_solver
@@ -246,6 +253,7 @@ def cmd_experiment(args) -> int:
         trial_batch=args.trial_batch,
         progress=args.progress,
         polish=args.polish,
+        swarms_per_tile=args.swarms_per_tile,
     )
     if diag:
         diag.close()
@@ -277,6 +285,7 @@ def cmd_sweep(args) -> int:
         impl=_pick_impl(args, cfg),
         retries=args.retries,
         polish=args.polish,
+        swarms_per_tile=args.swarms_per_tile,
     )
     print(
         json.dumps(
@@ -318,6 +327,7 @@ def cmd_track(args) -> int:
         impl=_pick_impl(args, cfg),
         polish=args.polish,
         timeit=args.timeit,
+        swarms_per_tile=args.swarms_per_tile,
     )
     # Per-step joint motion: continuity metric of the tracked animation
     # (the reference's degStream angle-delta analysis, per frame).

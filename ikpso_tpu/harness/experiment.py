@@ -97,6 +97,7 @@ def frames_to_converge(
     trial_batch: Optional[int] = None,
     progress: bool = False,
     polish: int = 0,
+    swarms_per_tile: int = 1,
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -135,7 +136,7 @@ def frames_to_converge(
                     # Reference-style single-run logging: first batch only.
                     diagnostics=diagnostics if not chunks else None,
                     impl=impl, validate=validate, progress=progress,
-                    polish=polish,
+                    polish=polish, swarms_per_tile=swarms_per_tile,
                 )
             )
             remaining -= n
@@ -178,7 +179,7 @@ def frames_to_converge(
 
         solver = make_fused_solver(
             spec, pso=pso, fit=fit, obstacles=obstacles,
-            num_particles=num_particles,
+            num_particles=num_particles, swarms_per_tile=swarms_per_tile,
         )
     else:
         solver = make_solver(

@@ -43,13 +43,14 @@ class TrackResult:
     wall_time_s: float
 
 
-def _build_solver(spec, pso, fit, obstacles, num_particles, impl):
+def _build_solver(spec, pso, fit, obstacles, num_particles, impl,
+                  swarms_per_tile=1):
     if impl == "fused":
         from ikpso_tpu.pso.fused import make_fused_solver
 
         return make_fused_solver(
             spec, pso=pso, fit=fit, obstacles=obstacles,
-            num_particles=num_particles,
+            num_particles=num_particles, swarms_per_tile=swarms_per_tile,
         )
     return make_solver(
         spec, pso=pso, fit=fit, obstacles=obstacles,
@@ -71,6 +72,7 @@ def track_trajectories(
     polish: int = 0,
     timeit: bool = False,
     mesh=None,
+    swarms_per_tile: int = 1,
 ) -> TrackResult:
     """Track S moving targets over T steps, fully on device.
 
@@ -118,7 +120,8 @@ def track_trajectories(
         )
     else:
         solver = _build_solver(
-            spec, pso, fit, obstacles, num_particles, impl
+            spec, pso, fit, obstacles, num_particles, impl,
+            swarms_per_tile=swarms_per_tile,
         )
     if polish:
         from ikpso_tpu.pso.polish import wrap_with_polish
@@ -222,6 +225,7 @@ def solve_waypoints(
     mesh=None,
     impl: str = "jnp",
     retries: int = 0,
+    swarms_per_tile: int = 1,
     retry_err_threshold: float = 1e-3,
     polish: int = 0,
 ) -> SweepResult:
@@ -245,7 +249,10 @@ def solve_waypoints(
         state = ckpt.fresh_state(w, dof, key)
 
     if mesh is None:
-        solver = _build_solver(spec, pso, fit, obstacles, num_particles, impl)
+        solver = _build_solver(
+            spec, pso, fit, obstacles, num_particles, impl,
+            swarms_per_tile=swarms_per_tile,
+        )
     else:
         from ikpso_tpu.parallel.sharded import make_sharded_solver
 
