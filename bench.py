@@ -331,7 +331,7 @@ def main() -> int:
     # 99.25% <1mm; out/bench_polish_soa.jsonl, docs/PERFORMANCE.md).
     fused_defaults = {  # model -> (particles, swarms/tile, iters, rekick, polish)
         "arm_7dof": (128, 32, 16, 8, 4),
-        "planar_3dof": (128, 32, 40, 20, 0),
+        "planar_3dof": (128, 32, 16, 8, 4),
         "arm_6dof": (128, 32, 40, 20, 4),
         "dual_arm_14dof": (1024, 2, 30, 15, 4),
         "reference_arm": (256, 4, 100, 0, 0),
