@@ -250,9 +250,10 @@ def main() -> int:
         "adds p50/p90 geodesic orientation error to the record",
     )
     parser.add_argument(
-        "--retries", type=int, default=0,
-        help="re-solve swarms still >1mm with fresh RNG (N rounds); "
-        "wall time includes the retries",
+        "--retries", type=int, default=None,
+        help="re-solve swarms still >1mm with fresh RNG (N rounds; "
+        "default: measured per-model best); wall time includes the "
+        "retries",
     )
     parser.add_argument(
         "--rekick-interval", type=int, default=None,
@@ -329,13 +330,18 @@ def main() -> int:
     # at basin-finding depth and LM finish: 16 iters + 4 polish steps
     # beats 40 iters both ways (347.7k vs 250.6k solves/s, 99.74% vs
     # 99.25% <1mm; out/bench_polish_soa.jsonl, docs/PERFORMANCE.md).
-    fused_defaults = {  # model -> (particles, swarms/tile, iters, rekick, polish)
-        "arm_7dof": (128, 32, 16, 8, 4),
-        "planar_3dof": (128, 32, 16, 8, 4),
-        "arm_6dof": (128, 32, 40, 20, 4),
-        "dual_arm_14dof": (1024, 2, 30, 15, 4),
-        "reference_arm": (256, 4, 100, 0, 0),
-        "snake_30dof": (256, 4, 30, 15, 4),
+    # 6th element: default top-k retry rounds (pso/restarts.py) — the
+    # worst eighth re-solves with fresh RNG inside the same jitted
+    # program. 2 rounds take the 7-DOF headline to 100.00% <1mm at
+    # 325.3k solves/s (out/bench_headline_retry.jsonl); 4 rounds lift
+    # the orientation task's wrong-basin tail to 92.1%.
+    fused_defaults = {  # model -> (particles, sw/tile, iters, rekick, polish, retries)
+        "arm_7dof": (128, 32, 16, 8, 4, 2),
+        "planar_3dof": (128, 32, 16, 8, 4, 0),
+        "arm_6dof": (128, 32, 40, 20, 4, 4),
+        "dual_arm_14dof": (1024, 2, 30, 15, 4, 0),
+        "reference_arm": (256, 4, 100, 0, 0, 0),
+        "snake_30dof": (256, 4, 30, 15, 4, 0),
     }
     # snake:<links> shares the tuned snake_30dof recipe.
     defaults_key = "snake_30dof" if args.model.startswith("snake:") else args.model
@@ -344,7 +350,7 @@ def main() -> int:
             f"error: unknown model {args.model!r}; expected one of "
             f"{sorted(fused_defaults)} or 'snake:<links>'"
         )
-    dp, dsw, dit, drk, dpol = fused_defaults[defaults_key]
+    dp, dsw, dit, drk, dpol, dret = fused_defaults[defaults_key]
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
@@ -374,6 +380,12 @@ def main() -> int:
         polish = dpol
     else:
         polish = 0
+    if args.retries is not None:
+        retries = args.retries
+    elif impl == "fused" and iterations == dit:
+        retries = dret
+    else:
+        retries = 0
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -394,7 +406,7 @@ def main() -> int:
             s=args.swarms,
             inertia_mode=inertia_mode,
             swarms_per_tile=swarms_per_tile,
-            retries=args.retries,
+            retries=retries,
             orientation=args.orientation,
             rekick_interval=rekick_interval,
             rekick_scale=args.rekick_scale,
@@ -429,8 +441,8 @@ def main() -> int:
     }
     if "frac_targets_feasible" in stats:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
-    if args.retries:
-        record["retries"] = args.retries
+    if retries:
+        record["retries"] = retries
     if polish:
         record["polish_steps"] = polish
     if rekick_interval:
