@@ -90,8 +90,14 @@ def _pick_impl(args, cfg) -> str:
         return args.impl
     # Auto picks fused only when the whole swarm state fits VMEM
     # comfortably (3 state arrays x DOF x P x 4B per swarm; P > 4096
-    # at 21 DOF pushes past the ~16 MB/core budget).
-    fits = 1024 <= cfg.num_particles <= 4096 and cfg.num_particles % 1024 == 0
+    # at 21 DOF pushes past the ~16 MB/core budget) and the chain fits
+    # the megakernel's 128-lane gbest row (dof <= 128 — deeper chains,
+    # e.g. snake:43+, take the scan solver).
+    fits = (
+        1024 <= cfg.num_particles <= 4096
+        and cfg.num_particles % 1024 == 0
+        and cfg.spec.dof <= 128
+    )
     return "fused" if on_tpu and fits else "jnp"
 
 
@@ -337,6 +343,7 @@ def cmd_track(args) -> int:
     # frames-to-converge); steady-state tracking quality is judged
     # after a settle prefix.
     settle = args.settle if args.settle is not None else args.steps // 4
+    settle = max(0, min(settle, args.steps - 1))
     ss = result.errors[settle:]
     print(
         json.dumps(

@@ -201,7 +201,7 @@ def frames_to_converge(
         solver = wrap_with_polish(
             solver, spec, steps=polish,
             locality_weight=float(np.asarray(fit.angle_weight))
-            / (spec.dof // 3),
+            / max(1, spec.dof // 3),
             obstacles=obstacles,
             collision_backend=fit.collision_backend,
             gizmo_size=fit.gizmo_size,

@@ -110,6 +110,7 @@ def track_trajectories(
         solver = make_sharded_solver(
             spec, mesh, pso=pso, fit=fit, obstacles=obstacles,
             num_particles=num_particles, impl=impl,
+            swarms_per_tile=swarms_per_tile,
         )
         path = jax.device_put(
             path,

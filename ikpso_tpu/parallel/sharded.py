@@ -71,6 +71,7 @@ def solve_sharded(
     fitness_fn=None,
     jit: bool = True,
     impl: str = "jnp",
+    swarms_per_tile: int = 1,
 ) -> SolveResult:
     """Solve a swarm batch across a device mesh.
 
@@ -126,7 +127,7 @@ def solve_sharded(
 
         fused = make_fused_solver(
             chain, pso=pso, fit=fit, obstacles=obstacles,
-            num_particles=num_particles,
+            num_particles=num_particles, swarms_per_tile=swarms_per_tile,
         )
 
     def body(local_problem: IKProblem, k: jnp.ndarray) -> SolveResult:

@@ -256,10 +256,27 @@ def polish_angles(
     )
     anchor = fk_ops.pose_to_angles(spec, problem.pose)
     sqrt_lw = jnp.sqrt(locality_weight) if locality_weight else None
+    targets = problem.targets
+    rt_mat = (
+        euler_xyz_to_matrix(problem.target_rot) if use_orientation else None
+    )
 
     def err2(x):
         r = res_only(x)
         return jnp.sum(r * r, axis=-1)
+
+    def res_from_fk(pe, re, x):
+        # Residual from an FK already computed by fk_with_jacobian —
+        # avoids a second full FK pass per LM step.
+        r = ((pe - targets) * w_pos[:, None]).reshape(pe.shape[:-2] + (-1,))
+        if use_orientation:
+            ro = _vee_residual(re, rt_mat, orientation_weight)
+            r = jnp.concatenate(
+                [r, ro.reshape(ro.shape[:-2] + (-1,))], axis=-1
+            )
+        if locality_weight:
+            r = jnp.concatenate([r, sqrt_lw * (x - anchor)], axis=-1)
+        return r
 
     # Residual-row weights for the analytic Jacobian (rows must match
     # the weighted residual layout).
@@ -280,11 +297,11 @@ def polish_angles(
     def step(carry, _):
         x, lam = carry
         pose = fk_ops.angles_to_pose(spec, root_rot, x)
-        _pe, _re, j = fk_with_jacobian(
+        pe, re, j = fk_with_jacobian(
             spec, pose, origin, orientation=use_orientation
         )
         j = j * row_w[:, None]
-        r = res_only(x)
+        r = res_from_fk(pe, re, x)
         if locality_weight:
             # Tikhonov locality rows: residual sqrt(w)(x - anchor),
             # Jacobian sqrt(w) * I.

@@ -13,11 +13,12 @@ VPU op, and there are no strided slices. The FK composes rotation
 components elementwise (exact f32, same as the Pallas kernels — no
 MXU rounding), so results match pso/polish.py to float rounding.
 
-Covers the position residual with optional Tikhonov locality rows
-(any effector count, ancestry-masked trees); locality switches the
-normal equations from the dual (M, M) to the primal (D, D) form.
-Orientation rows take the general path — ``pso.polish.polish_angles``
-dispatches automatically.
+Covers the full residual family (any effector count, ancestry-masked
+trees): position rows, optional world rotation-vector orientation
+rows, and optional Tikhonov locality rows; locality (or rows > DOF)
+switches the normal equations from the dual (M, M) to the primal
+(D, D) form. ``pso.polish.polish_angles`` dispatches every polish to
+this core; its tensor path remains the test oracle.
 """
 
 from __future__ import annotations
@@ -157,11 +158,11 @@ def polish_angles_soa(
     use_orientation: bool = False,
     orientation_weight: float = 1.0,
 ) -> jnp.ndarray:
-    """Position-only LM polish, SoA-unrolled. See pso/polish.py.
+    """SoA-unrolled LM polish (position / orientation / locality rows).
 
-    Semantics match ``polish_angles(use_orientation=False)`` to float
-    rounding: same damping race, same gradient-projection active set,
-    same accept gate. The step body is pure (S,)-row arithmetic;
+    Semantics match ``polish_angles(soa=False)`` to float rounding:
+    same damping race, same gradient-projection active set, same
+    accept gate. The step body is pure (S,)-row arithmetic;
     ``lax.scan`` carries ``(x, lam)`` across steps so the (large,
     fully-unrolled) body is traced and compiled once regardless of the
     step count.
