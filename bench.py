@@ -59,7 +59,8 @@ def _obstacle_scene(spec, n):
 
 
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
-                          impl, s, inertia_mode, swarms_per_tile=1,
+                          impl, s, inertia_mode, init_mode="warm",
+                          swarms_per_tile=1,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
                           rekick_threshold=-1.0, obstacles=None, polish=0):
@@ -118,7 +119,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         feasible = ~np.asarray(hit)
 
     rk = dict(rekick_interval=rekick_interval, rekick_scale=rekick_scale,
-              rekick_threshold=rekick_threshold)
+              rekick_threshold=rekick_threshold, init_mode=init_mode)
     if inertia_mode == "canonical":
         pso = PSOConfig(
             iterations=iterations,
@@ -231,6 +232,14 @@ def main() -> int:
         choices=("canonical", "randomized"),
         default=None,
         help="default: canonical for fused (tight p90), randomized otherwise",
+    )
+    parser.add_argument(
+        "--init-mode",
+        choices=("warm", "uniform", "hybrid"),
+        default="warm",
+        help="swarm init: warm (reference default), uniform joint-range "
+        "draws, or hybrid (particle 0 warm, rest uniform — basin "
+        "coverage for single-shot far targets)",
     )
     parser.add_argument(
         "--impl", choices=("auto", "jnp", "pallas", "fused"), default="auto"
@@ -405,6 +414,7 @@ def main() -> int:
             impl=impl,
             s=args.swarms,
             inertia_mode=inertia_mode,
+            init_mode=args.init_mode,
             swarms_per_tile=swarms_per_tile,
             retries=retries,
             orientation=args.orientation,
@@ -432,6 +442,7 @@ def main() -> int:
         "swarms_per_tile": swarms_per_tile,
         "iterations": iterations,
         "inertia_mode": inertia_mode,
+        "init_mode": args.init_mode,
         "p50_err_mm": round(stats["p50_err_mm"], 4),
         "p90_err_mm": round(stats["p90_err_mm"], 4),
         "frac_under_1mm": round(stats["frac_under_1mm"], 4),

@@ -37,6 +37,16 @@ def _add_common(p):
         "supports an inertia_end decay via JSON config)",
     )
     p.add_argument(
+        "--init-mode", choices=("warm", "uniform", "hybrid"), default=None,
+        help="swarm init: 'warm' (reference default) starts every "
+        "particle at the current pose; 'uniform' spreads them over the "
+        "joint range (the reference's Iteration_1 protocol — combine "
+        "with --angle-weight 0, its fitness predates the locality "
+        "term); 'hybrid' "
+        "keeps particle 0 warm and spreads the rest (basin coverage "
+        "for single-shot far targets)",
+    )
+    p.add_argument(
         "--rekick-interval", type=int, default=None,
         help="re-randomize particle velocities every N iterations "
         "(0 = off; rescues prematurely-converged swarms)",
@@ -397,10 +407,6 @@ def main(argv=None) -> int:
     p.add_argument("--eps", type=float, default=0.025)
     p.add_argument("--max-frames", type=int, default=300)
     p.add_argument("--outdir", default=None, help="diagnostics directory")
-    p.add_argument(
-        "--init-mode", choices=("warm", "uniform"), default=None,
-        help="'uniform' reproduces the reference's Iteration_1 protocol",
-    )
     p.add_argument(
         "--progress", action="store_true",
         help="per-frame convergence progress on stderr",

@@ -46,6 +46,11 @@ class PSOConfig:
     # particles start uniformly over the joint range — the reference's
     # iteration-1 protocol (Documentation/Iteration_1), kept for
     # convergence-parity experiments against that report's numbers.
+    # "hybrid": particle 0 starts at the current pose, the rest
+    # uniformly over the joint range — warm-start anchoring plus
+    # global basin coverage for single-shot far-target solves (the
+    # wrong-basin tail of exactly-determined tasks like
+    # arm_6dof position+orientation).
     init_mode: str = dataclasses.field(default="warm", metadata=dict(static=True))
     # Optional linear inertia schedule (canonical mode only): the
     # inertia decays from ``inertia`` to ``inertia_end`` over the run —
@@ -80,7 +85,7 @@ class PSOConfig:
     def __post_init__(self):
         if self.inertia_mode not in ("randomized", "canonical"):
             raise ValueError(f"unknown inertia_mode: {self.inertia_mode!r}")
-        if self.init_mode not in ("warm", "uniform"):
+        if self.init_mode not in ("warm", "uniform", "hybrid"):
             raise ValueError(f"unknown init_mode: {self.init_mode!r}")
         if self.inertia_end >= 0.0 and self.inertia_mode != "canonical":
             raise ValueError("inertia_end requires inertia_mode='canonical'")

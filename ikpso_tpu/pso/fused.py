@@ -185,13 +185,11 @@ def _build_solver_kernel(
             [jnp.full(tile, limits_ref[1, dd]) for dd in range(d)], axis=0
         )
 
-        # Warm start: every particle AT its swarm's anchor pose;
-        # diversity from uniform velocities (reference
-        # initParticlesKernel, kernel.cu:223-266 / SURVEY.md §2.3).
-        x0 = jnp.concatenate(
-            [jnp.broadcast_to(sw(lay_anchor + dd), tile) for dd in range(d)], axis=0
-        )
         rekick_n = pso.rekick_interval
+        # Debug-slot layout: init draws first (position draw at slot 0
+        # when init_mode != "warm", then the velocity draw), iteration
+        # draws follow in blocks of draws_per_iter.
+        n_init_draws = 1 if pso.init_mode == "warm" else 2
         if debug_uniforms:
             draws_per_iter = (3 if randomized else 2) + (1 if rekick_n else 0)
 
@@ -201,15 +199,36 @@ def _build_solver_kernel(
             def draw(_slot):
                 return _uniform((d * R, LANES))
 
-        v0 = (draw(0) * 2.0 - 1.0) * vscale
-        lbest_val0 = fitness_of(x0)
-
         # Band id + in-band particle ids for the per-swarm masked
         # argmin (thrust::min_element's first-minimum semantics).
         row_id = jax.lax.broadcasted_iota(jnp.int32, tile, 0)
         pid = (row_id % rows) * LANES + jax.lax.broadcasted_iota(jnp.int32, tile, 1)
         band_of = row_id // rows
         band_masks = [band_of == j for j in range(sw_count)]
+
+        # Init (reference initParticlesKernel, kernel.cu:223-266 /
+        # SURVEY.md §2.3). "warm": every particle AT its swarm's anchor
+        # pose; diversity from uniform velocities. "uniform"
+        # (iteration-1 parity): positions U(lo, hi) over the joint
+        # range, clamped to ±2π (matches pso/solver.py::init_swarm).
+        # "hybrid": particle 0 of each swarm warm, the rest uniform —
+        # anchored basin coverage for single-shot far targets.
+        anchor0 = jnp.concatenate(
+            [jnp.broadcast_to(sw(lay_anchor + dd), tile) for dd in range(d)], axis=0
+        )
+        if pso.init_mode == "warm":
+            x0 = anchor0
+        else:
+            two_pi = np.float32(2.0 * np.pi)
+            lo_c = jnp.maximum(lo, -two_pi)
+            hi_c = jnp.minimum(hi, two_pi)
+            x0 = lo_c + draw(0) * (hi_c - lo_c)
+            if pso.init_mode == "hybrid":
+                pid_d = jnp.concatenate([pid] * d, axis=0)
+                x0 = jnp.where(pid_d == 0, anchor0, x0)
+
+        v0 = (draw(n_init_draws - 1) * 2.0 - 1.0) * vscale
+        lbest_val0 = fitness_of(x0)
 
         def gbest_tiles(lbest, lbest_val):
             """Per-band broadcast tiles of each swarm's global best.
@@ -317,7 +336,9 @@ def _build_solver_kernel(
                 # debug slot is the kick iteration's last draw slot.
                 it0 = blk * block
                 if debug_uniforms:
-                    u_k = draw(1 + it0 * draws_per_iter + draws_per_iter - 1)
+                    u_k = draw(
+                        n_init_draws + it0 * draws_per_iter + draws_per_iter - 1
+                    )
                 else:
                     u_k = draw(None)
                 if pso.rekick_threshold >= 0.0:
@@ -361,7 +382,7 @@ def _build_solver_kernel(
                     else:
                         _, gb = gbest_tiles(lbest, lbest_val)
                 if debug_uniforms:
-                    base = 1 + it * draws_per_iter
+                    base = n_init_draws + it * draws_per_iter
                     u_c = draw(base)
                     u_s = draw(base + 1)
                     u_w = draw(base + 2) if randomized else None
@@ -527,11 +548,6 @@ def make_fused_solver(
             f"coordinates leave the kernel as one 128-lane vector row); "
             f"got dof={spec.dof} — use the lax.scan solver "
             f"(impl='jnp') for deeper chains"
-        )
-    if pso.init_mode != "warm":
-        raise ValueError(
-            "the fused megakernel implements warm-start init only; use the "
-            "jnp solver for init_mode='uniform' (an iteration-1 parity mode)"
         )
     num_obstacles = 0 if obstacles is None else obstacles.count
     use_orientation_w = float(np.asarray(fit.orientation_weight)) != 0.0

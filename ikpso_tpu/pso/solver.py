@@ -161,15 +161,21 @@ def init_swarm(
     iteration-1 protocol, for parity with that report.
     """
     s, d = anchor_angles.shape
-    if pso.init_mode == "uniform":
+    if pso.init_mode in ("uniform", "hybrid"):
+        # "hybrid": particle 0 warm, the rest uniform — anchored basin
+        # coverage for single-shot far targets.
         if limits is None:
-            raise ValueError("init_mode='uniform' requires joint limits")
+            raise ValueError(
+                f"init_mode={pso.init_mode!r} requires joint limits"
+            )
         lo, hi = limits
         key, key_x = jax.random.split(key)
         x = jax.random.uniform(
             key_x, (s, num_particles, d), dtype=anchor_angles.dtype,
             minval=jnp.maximum(lo, -2 * jnp.pi), maxval=jnp.minimum(hi, 2 * jnp.pi),
         )
+        if pso.init_mode == "hybrid":
+            x = x.at[:, 0, :].set(anchor_angles)
     else:
         x = jnp.broadcast_to(anchor_angles[:, None, :], (s, num_particles, d))
     v = jax.random.uniform(

@@ -486,3 +486,79 @@ def test_fused_replay_with_obstacles_matches_jnp_reference():
     assert saw_penalty
     np.testing.assert_allclose(gb_k, gb_r, atol=5e-4)
     np.testing.assert_allclose(gv_k, gv_r, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("init_mode", ["uniform", "hybrid"])
+def test_fused_replay_init_modes_match_reference(init_mode):
+    # Same replay harness as test_fused_replay_matches_jnp_reference,
+    # but with the uniform / hybrid swarm init: slot 0 is the init
+    # position draw (U over the ±2π-clamped joint range), slot 1 the
+    # velocity draw; hybrid pins particle 0 to the warm anchor.
+    from ikpso_tpu.ops.fitness import fitness as jnp_fitness
+    from ikpso_tpu.ops.pallas_fitness import _pack_meta, _pack_swarm
+    from ikpso_tpu.pso.fused import fused_solve_raw
+
+    spec, problem = library.arm_7dof()
+    P, D, rows, L = 1024, spec.dof, 8, 128
+    iters = 3
+    pso = PSOConfig(
+        iterations=iters, inertia_mode="randomized", init_mode=init_mode
+    )
+    fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
+
+    batched = _batched(problem, 1)
+    anchor_angles = fk_ops.pose_to_angles(spec, batched.pose)
+    anchor_positions = fk_ops.fk_points(spec, batched.pose, batched.origin)
+    meta = _pack_meta(spec, fit, None)
+    swarm = _pack_swarm(spec, batched, anchor_angles, anchor_positions)
+    limits = jnp.stack(
+        [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]
+    )
+    seeds = jnp.zeros((1, 2), jnp.int32)
+    n_draws = 2 + 3 * iters
+    U = jax.random.uniform(
+        jax.random.key(7), (1, n_draws, D * rows, L), dtype=jnp.float32
+    )
+    gb_k, gv_k = fused_solve_raw(
+        spec, pso, fit, meta, swarm, limits, seeds, P, 0,
+        interpret=_interpret(), uniforms=U,
+    )
+    gb_k, gv_k = np.asarray(gb_k[0]), float(gv_k[0])
+
+    Un = np.asarray(U[0])
+
+    def to_pd(u):  # (D*rows, L) -> (P, D): particle p = row*L + lane
+        return u.reshape(D, rows, L).reshape(D, P).T
+
+    anchor = np.asarray(anchor_angles[0])
+    lo = np.asarray(spec.min_rotation[1:]).reshape(-1)
+    hi = np.asarray(spec.max_rotation[1:]).reshape(-1)
+    lo_c = np.maximum(lo, -2 * np.pi).astype(np.float32)
+    hi_c = np.minimum(hi, 2 * np.pi).astype(np.float32)
+    fit_fn = jax.jit(lambda x: jnp_fitness(spec, x, problem, config=fit))
+
+    x = (lo_c + to_pd(Un[0]) * (hi_c - lo_c)).astype(np.float32)
+    if init_mode == "hybrid":
+        x[0] = anchor
+    v = ((to_pd(Un[1]) * 2.0 - 1.0) * pso.init_velocity_scale).astype(
+        np.float32
+    )
+    lbest = x.copy()
+    lval = np.asarray(fit_fn(jnp.asarray(x)))
+    w, c1, c2 = (np.float32(pso.inertia), np.float32(pso.cognitive),
+                 np.float32(pso.social))
+    for it in range(iters):
+        gb = lbest[int(np.argmin(lval))]
+        base = 2 + 3 * it
+        u_c, u_s, u_w = to_pd(Un[base]), to_pd(Un[base + 1]), to_pd(Un[base + 2])
+        v = w * u_w * v + c1 * u_c * (lbest - x) + c2 * u_s * (gb[None] - x)
+        x = np.clip(x + v, lo, hi).astype(np.float32)
+        f = np.asarray(fit_fn(jnp.asarray(x)))
+        m = f < lval
+        lval = np.where(m, f, lval)
+        lbest = np.where(m[:, None], x, lbest)
+    i0 = int(np.argmin(lval))
+    gb_r, gv_r = lbest[i0], float(lval[i0])
+
+    np.testing.assert_allclose(gb_k, gb_r, atol=5e-4)
+    np.testing.assert_allclose(gv_k, gv_r, rtol=1e-3, atol=1e-5)

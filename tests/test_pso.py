@@ -62,14 +62,45 @@ def test_uniform_init_semantics():
     assert (a <= np.minimum(hi, 2 * np.pi) + 1e-6).all()
 
 
-def test_uniform_init_rejected_by_fused_and_bad_mode():
-    from ikpso_tpu.pso.fused import make_fused_solver
-
-    spec, _ = library.planar_3dof()
-    with pytest.raises(ValueError):
-        make_fused_solver(spec, pso=PSOConfig(init_mode="uniform"))
+def test_bad_init_mode_rejected():
     with pytest.raises(ValueError):
         PSOConfig(init_mode="bogus")
+
+
+def test_hybrid_init_semantics():
+    # Particle 0 warm, rest uniform: with zero iterations and the
+    # anchor already AT the (trivial) target, the warm particle must
+    # win — hybrid returns the anchor exactly, like a pure warm start —
+    # while on a far target the uniform spread must beat the anchor.
+    spec, problem = library.planar_3dof(target=(0.0, 2.5, 0.0))
+    fit = FitnessConfig(angle_weight=0.0)
+    res_h = solve_single(
+        spec, problem, jax.random.key(3),
+        pso=PSOConfig(iterations=0, init_mode="hybrid"), fit=fit,
+        num_particles=512,
+    )
+    res_w = solve_single(
+        spec, problem, jax.random.key(3), pso=PSOConfig(iterations=0),
+        fit=fit, num_particles=512,
+    )
+    assert float(res_h.effector_error) < float(res_w.effector_error)
+
+    # Anchor-perfect problem: the warm particle 0 is exact (fitness 0)
+    # and must be the returned gbest.
+    spec2, problem2 = library.planar_3dof()
+    from ikpso_tpu.ops import fk as fk_ops
+
+    anchor_targets = fk_ops.fk_points(spec2, problem2.pose, problem2.origin)[
+        np.array(spec2.effector_idx)
+    ]
+    problem2 = problem2.replace(targets=anchor_targets)
+    res_a = solve_single(
+        spec2, problem2, jax.random.key(5),
+        pso=PSOConfig(iterations=0, init_mode="hybrid"), fit=fit,
+        num_particles=512,
+    )
+    anchor = np.asarray(fk_ops.pose_to_angles(spec2, problem2.pose))
+    np.testing.assert_allclose(np.asarray(res_a.angles), anchor, atol=1e-6)
 
 
 def test_determinism_same_key():
