@@ -60,6 +60,7 @@ def _obstacle_scene(spec, n):
 
 def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           impl, s, inertia_mode, init_mode="warm",
+                          retry_init_mode=None,
                           swarms_per_tile=1,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
@@ -135,45 +136,59 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         orientation_weight=1.0 if orientation else 0.0,
     )
 
-    if impl == "fused":
-        from ikpso_tpu.pso.fused import make_fused_solver
+    def build(pso_cfg):
+        if impl == "fused":
+            from ikpso_tpu.pso.fused import make_fused_solver
 
-        solver = make_fused_solver(
-            spec, pso=pso, fit=fit, obstacles=obstacles,
-            num_particles=num_particles,
-            swarms_per_tile=swarms_per_tile,
-        )
-    else:
-        fitness_fn = None
-        if impl == "pallas":
-            from ikpso_tpu.ops.pallas_fitness import make_pallas_fitness
-
-            fitness_fn = make_pallas_fitness(
-                spec, batched, fit=fit, obstacles=obstacles
+            sv = make_fused_solver(
+                spec, pso=pso_cfg, fit=fit, obstacles=obstacles,
+                num_particles=num_particles,
+                swarms_per_tile=swarms_per_tile,
             )
+        else:
+            fitness_fn = None
+            if impl == "pallas":
+                from ikpso_tpu.ops.pallas_fitness import make_pallas_fitness
 
-        solver = make_solver(
-            spec, pso=pso, fit=fit, obstacles=obstacles,
-            num_particles=num_particles, fitness_fn=fitness_fn,
-        )
-    if polish:
-        # Differentiable-FK LM refinement of each swarm's gbest:
-        # per-swarm accept-if-better, so it can only tighten the
-        # percentiles; lets the PSO stage stop at basin-capture depth
-        # instead of polishing stochastically (pso/polish.py).
-        from ikpso_tpu.pso.polish import wrap_with_polish
+                fitness_fn = make_pallas_fitness(
+                    spec, batched, fit=fit, obstacles=obstacles
+                )
 
-        solver = wrap_with_polish(
-            solver, spec, steps=polish, use_orientation=orientation,
-            obstacles=obstacles,
-            collision_backend=fit.collision_backend,
-            gizmo_size=fit.gizmo_size,
-        )
+            sv = make_solver(
+                spec, pso=pso_cfg, fit=fit, obstacles=obstacles,
+                num_particles=num_particles, fitness_fn=fitness_fn,
+            )
+        if polish:
+            # Differentiable-FK LM refinement of each swarm's gbest:
+            # per-swarm accept-if-better, so it can only tighten the
+            # percentiles; lets the PSO stage stop at basin-capture
+            # depth instead of polishing stochastically (pso/polish.py).
+            from ikpso_tpu.pso.polish import wrap_with_polish
+
+            sv = wrap_with_polish(
+                sv, spec, steps=polish, use_orientation=orientation,
+                obstacles=obstacles,
+                collision_backend=fit.collision_backend,
+                gizmo_size=fit.gizmo_size,
+            )
+        return sv
+
+    solver = build(pso)
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver
 
+        # Retry rounds may re-explore with a different swarm init:
+        # wrong-basin failures retried warm with fresh RNG tend to
+        # land back in the failed basin; a hybrid/uniform retry init
+        # de-correlates them (the base solve stays warm).
+        retry_solver = None
+        if retry_init_mode and retry_init_mode != init_mode:
+            import dataclasses as _dc
+
+            retry_solver = build(_dc.replace(pso, init_mode=retry_init_mode))
         solver = make_topk_retry_solver(
-            solver, err_threshold=1e-3, rounds=retries, bucket=1024
+            solver, err_threshold=1e-3, rounds=retries, bucket=1024,
+            retry_solver=retry_solver,
         )
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
     err_mm = np.asarray(res.effector_error) * 1000.0
@@ -240,6 +255,14 @@ def main() -> int:
         help="swarm init: warm (reference default), uniform joint-range "
         "draws, or hybrid (particle 0 warm, rest uniform — basin "
         "coverage for single-shot far targets)",
+    )
+    parser.add_argument(
+        "--retry-init-mode",
+        choices=("warm", "uniform", "hybrid"),
+        default=None,
+        help="swarm init for the top-k retry rounds only (default: same "
+        "as --init-mode); hybrid/uniform de-correlates wrong-basin "
+        "retries from the failed warm basin",
     )
     parser.add_argument(
         "--impl", choices=("auto", "jnp", "pallas", "fused"), default="auto"
@@ -415,6 +438,7 @@ def main() -> int:
             s=args.swarms,
             inertia_mode=inertia_mode,
             init_mode=args.init_mode,
+            retry_init_mode=args.retry_init_mode,
             swarms_per_tile=swarms_per_tile,
             retries=retries,
             orientation=args.orientation,
@@ -443,6 +467,7 @@ def main() -> int:
         "iterations": iterations,
         "inertia_mode": inertia_mode,
         "init_mode": args.init_mode,
+        "retry_init_mode": args.retry_init_mode,
         "p50_err_mm": round(stats["p50_err_mm"], 4),
         "p90_err_mm": round(stats["p90_err_mm"], 4),
         "frac_under_1mm": round(stats["frac_under_1mm"], 4),
