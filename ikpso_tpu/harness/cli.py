@@ -300,6 +300,7 @@ def cmd_sweep(args) -> int:
         checkpoint_path=args.checkpoint,
         impl=_pick_impl(args, cfg),
         retries=args.retries,
+        retry_init_mode=args.retry_init_mode,
         polish=args.polish,
         swarms_per_tile=args.swarms_per_tile,
     )
@@ -422,6 +423,13 @@ def main(argv=None) -> int:
     p.add_argument(
         "--retries", type=int, default=0,
         help="top-k retry rounds per batch (re-solve the worst eighth)",
+    )
+    p.add_argument(
+        "--retry-init-mode", choices=("warm", "uniform", "hybrid"),
+        default=None,
+        help="swarm init for the retry rounds only (default: same as "
+        "--init-mode); uniform/hybrid de-correlates wrong-basin "
+        "retries from the failed warm basin",
     )
     p.set_defaults(fn=cmd_sweep)
 

@@ -226,6 +226,7 @@ def solve_waypoints(
     mesh=None,
     impl: str = "jnp",
     retries: int = 0,
+    retry_init_mode: Optional[str] = None,
     swarms_per_tile: int = 1,
     retry_err_threshold: float = 1e-3,
     polish: int = 0,
@@ -237,7 +238,10 @@ def solve_waypoints(
     Each waypoint warm-starts from ``problem.pose`` — independent
     solves, retryable by construction. ``retries`` wraps the solver in
     the jitted top-k retry (re-solve the worst eighth of each batch up
-    to N rounds — production tail hardening, pso/restarts.py).
+    to N rounds — production tail hardening, pso/restarts.py);
+    ``retry_init_mode`` (e.g. ``"uniform"``/``"hybrid"``) gives the
+    retry rounds a different swarm init, de-correlating wrong-basin
+    retries from the failed warm basin.
     ``polish`` adds K LM steps on each waypoint's gbest through the
     differentiable FK (pso/polish.py; accept-if-better per waypoint).
     """
@@ -249,40 +253,49 @@ def solve_waypoints(
     if state is None or state.angles.shape != (w, dof):
         state = ckpt.fresh_state(w, dof, key)
 
-    if mesh is None:
-        solver = _build_solver(
-            spec, pso, fit, obstacles, num_particles, impl,
-            swarms_per_tile=swarms_per_tile,
-        )
-    else:
-        from ikpso_tpu.parallel.sharded import make_sharded_solver
+    def build(pso_cfg):
+        if mesh is None:
+            sv = _build_solver(
+                spec, pso_cfg, fit, obstacles, num_particles, impl,
+                swarms_per_tile=swarms_per_tile,
+            )
+        else:
+            from ikpso_tpu.parallel.sharded import make_sharded_solver
 
-        solver = make_sharded_solver(
-            spec,
-            mesh,
-            pso=pso,
-            fit=fit,
-            obstacles=obstacles,
-            num_particles=num_particles,
-        )
+            sv = make_sharded_solver(
+                spec,
+                mesh,
+                pso=pso_cfg,
+                fit=fit,
+                obstacles=obstacles,
+                num_particles=num_particles,
+            )
 
-    if polish:
-        from ikpso_tpu.pso.polish import wrap_with_polish
+        if polish:
+            from ikpso_tpu.pso.polish import wrap_with_polish
 
-        solver = wrap_with_polish(
-            solver, spec, steps=polish, obstacles=obstacles,
-            collision_backend=fit.collision_backend,
-            gizmo_size=fit.gizmo_size,
-        )
+            sv = wrap_with_polish(
+                sv, spec, steps=polish, obstacles=obstacles,
+                collision_backend=fit.collision_backend,
+                gizmo_size=fit.gizmo_size,
+            )
+        return sv
 
+    solver = build(pso)
     if retries:
         from ikpso_tpu.pso.restarts import make_topk_retry_solver
 
+        retry_solver = None
+        if retry_init_mode and retry_init_mode != pso.init_mode:
+            retry_solver = build(
+                dataclasses.replace(pso, init_mode=retry_init_mode)
+            )
         solver = make_topk_retry_solver(
             solver,
             bucket=max(1, batch_size // 8),
             err_threshold=retry_err_threshold,
             rounds=retries,
+            retry_solver=retry_solver,
         )
 
     run_key = state.key
