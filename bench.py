@@ -367,13 +367,19 @@ def main() -> int:
     # program. 2 rounds take the 7-DOF headline to 100.00% <1mm at
     # 325.3k solves/s (out/bench_headline_retry.jsonl); 4 rounds lift
     # the orientation task's wrong-basin tail to 92.1%.
-    fused_defaults = {  # model -> (particles, sw/tile, iters, rekick, polish, retries)
-        "arm_7dof": (128, 32, 16, 8, 4, 2),
-        "planar_3dof": (128, 32, 16, 8, 4, 0),
-        "arm_6dof": (128, 32, 40, 20, 4, 4),
-        "dual_arm_14dof": (1024, 2, 30, 15, 4, 0),
-        "reference_arm": (256, 4, 100, 0, 0, 0),
-        "snake_30dof": (256, 4, 30, 15, 4, 0),
+    # 7th element: retry-round init mode (None = same as the base
+    # solve). The 6-DOF orientation task's residual failures are
+    # wrong-basin captures; retrying them warm with fresh RNG lands
+    # back in the failed basin, while uniform-init retries re-explore
+    # globally: 99.5% <1mm at 6 rounds vs 92.1% at 4 warm rounds
+    # (out/bench_retryinit.jsonl, out/bench_sweep5.jsonl).
+    fused_defaults = {  # model -> (particles, sw/tile, iters, rekick, polish, retries, retry_init)
+        "arm_7dof": (128, 32, 16, 8, 4, 2, None),
+        "planar_3dof": (128, 32, 16, 8, 4, 0, None),
+        "arm_6dof": (128, 32, 40, 20, 4, 6, "uniform"),
+        "dual_arm_14dof": (1024, 2, 30, 15, 4, 0, None),
+        "reference_arm": (256, 4, 100, 0, 0, 0, None),
+        "snake_30dof": (256, 4, 30, 15, 4, 0, None),
     }
     # snake:<links> shares the tuned snake_30dof recipe.
     defaults_key = "snake_30dof" if args.model.startswith("snake:") else args.model
@@ -382,7 +388,7 @@ def main() -> int:
             f"error: unknown model {args.model!r}; expected one of "
             f"{sorted(fused_defaults)} or 'snake:<links>'"
         )
-    dp, dsw, dit, drk, dpol, dret = fused_defaults[defaults_key]
+    dp, dsw, dit, drk, dpol, dret, dretinit = fused_defaults[defaults_key]
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
@@ -418,6 +424,9 @@ def main() -> int:
         retries = dret
     else:
         retries = 0
+    retry_init_mode = args.retry_init_mode
+    if retry_init_mode is None and retries == dret and impl == "fused":
+        retry_init_mode = dretinit
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -438,7 +447,7 @@ def main() -> int:
             s=args.swarms,
             inertia_mode=inertia_mode,
             init_mode=args.init_mode,
-            retry_init_mode=args.retry_init_mode,
+            retry_init_mode=retry_init_mode,
             swarms_per_tile=swarms_per_tile,
             retries=retries,
             orientation=args.orientation,
@@ -467,7 +476,7 @@ def main() -> int:
         "iterations": iterations,
         "inertia_mode": inertia_mode,
         "init_mode": args.init_mode,
-        "retry_init_mode": args.retry_init_mode,
+        "retry_init_mode": retry_init_mode,
         "p50_err_mm": round(stats["p50_err_mm"], 4),
         "p90_err_mm": round(stats["p90_err_mm"], 4),
         "frac_under_1mm": round(stats["frac_under_1mm"], 4),
