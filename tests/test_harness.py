@@ -138,6 +138,44 @@ def test_trajectory_sweep_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(res.angles, res2.angles)
 
 
+def test_sweep_retry_init_mode_improves_far_waypoints():
+    # Warm-start solves from the canonical pose cannot reach far
+    # waypoints in few iterations; uniform-init retry rounds re-explore
+    # globally and must strictly improve the error tail.
+    spec, problem = library.planar_3dof()
+    rng = np.random.default_rng(1)
+    # Far reachable waypoints: FK of random in-limit poses.
+    import jax.numpy as jnp
+
+    from ikpso_tpu.ops import fk as fk_ops
+
+    lo = np.asarray(spec.min_rotation[1:]).reshape(-1)
+    hi = np.asarray(spec.max_rotation[1:]).reshape(-1)
+    angles = rng.uniform(lo, hi, size=(8, spec.dof)).astype(np.float32)
+    pose = fk_ops.angles_to_pose(
+        spec, jnp.broadcast_to(problem.pose[0], (8, 3)), jnp.asarray(angles)
+    )
+    waypoints = np.asarray(
+        fk_ops.fk_points(spec, pose, problem.origin)[:, list(spec.effector_idx)]
+    )
+    kw = dict(
+        pso=PSOConfig(iterations=8),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=64,
+        batch_size=8,
+    )
+    base = solve_waypoints(
+        spec, problem, waypoints, jax.random.key(0), **kw
+    )
+    retried = solve_waypoints(
+        spec, problem, waypoints, jax.random.key(0),
+        retries=2, retry_init_mode="uniform", **kw
+    )
+    assert float(np.mean(retried.errors)) < float(np.mean(base.errors))
+    # The retry wrapper never makes any waypoint worse.
+    assert (retried.errors <= base.errors + 1e-6).all()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "s.npz")
     st = ckpt.fresh_state(5, 9, jax.random.key(3))
