@@ -373,13 +373,18 @@ def main() -> int:
     # back in the failed basin, while uniform-init retries re-explore
     # globally: 99.5% <1mm at 6 rounds vs 92.1% at 4 warm rounds
     # (out/bench_retryinit.jsonl, out/bench_sweep5.jsonl).
+    # arm_7dof: 8 PSO iterations are enough to FIND the basin when 4 LM
+    # steps finish it and 3 top-k retry rounds rescue the tail — the
+    # re-kick became unnecessary at this depth (retries subsume its
+    # job). 383.5k solves/s @ 100.00% <1mm measured
+    # (out/bench_sweep7.jsonl); 6 iterations opens the tail (99.74%).
     fused_defaults = {  # model -> (particles, sw/tile, iters, rekick, polish, retries, retry_init)
-        "arm_7dof": (128, 32, 16, 8, 4, 2, None),
+        "arm_7dof": (128, 32, 8, 0, 4, 3, None),
         "planar_3dof": (128, 32, 16, 8, 4, 0, None),
         "arm_6dof": (128, 32, 40, 20, 4, 6, "uniform"),
-        "dual_arm_14dof": (1024, 2, 30, 15, 4, 0, None),
+        "dual_arm_14dof": (1024, 2, 20, 10, 4, 2, "hybrid"),
         "reference_arm": (256, 4, 100, 0, 0, 0, None),
-        "snake_30dof": (256, 4, 30, 15, 4, 0, None),
+        "snake_30dof": (256, 4, 20, 10, 4, 2, None),
     }
     # snake:<links> shares the tuned snake_30dof recipe.
     defaults_key = "snake_30dof" if args.model.startswith("snake:") else args.model
