@@ -382,9 +382,9 @@ def main() -> int:
         "arm_7dof": (128, 32, 8, 0, 4, 3, None),
         "planar_3dof": (128, 32, 16, 8, 4, 0, None),
         "arm_6dof": (128, 32, 40, 20, 4, 6, "uniform"),
-        "dual_arm_14dof": (1024, 2, 20, 10, 4, 2, "hybrid"),
+        "dual_arm_14dof": (1024, 2, 16, 8, 4, 2, "hybrid"),
         "reference_arm": (256, 4, 100, 0, 0, 0, None),
-        "snake_30dof": (256, 4, 20, 10, 4, 2, None),
+        "snake_30dof": (256, 4, 16, 8, 4, 2, None),
     }
     # snake:<links> shares the tuned snake_30dof recipe.
     defaults_key = "snake_30dof" if args.model.startswith("snake:") else args.model
