@@ -345,55 +345,20 @@ def main() -> int:
     # fewer iterations (20 vs 60); randomized stays available for
     # reference-parity runs.
     inertia_mode = args.inertia_mode or ("canonical" if impl == "fused" else "randomized")
-    # Measured per-model fused defaults (out/bench_sweep{2,3,4}.jsonl;
-    # docs/PERFORMANCE.md): small swarms converge better per
-    # evaluation, and tall packed tiles (R = swarms_per_tile *
-    # particles/128 sublanes) amortize all elementwise work across the
-    # packed swarms — 8xP=128 per (16,128)... up to 32xP=128 per
-    # (32,128) tile is the 7-DOF frontier. Harder (higher-DOF) models
-    # need bigger swarms for the success-rate tail: dual-arm keeps
-    # P=1024 and packs 2 per (16,128) tile.
-    # 4th element: default rekick_interval — one threshold-gated
-    # mid-run velocity re-kick rescues prematurely-converged swarms at
-    # zero throughput cost (docs/PERFORMANCE.md "Velocity re-kick";
-    # out/bench_rekick.jsonl). 0 = off (untuned models).
-    # 5th element: default LM polish steps. The SoA polish core
-    # (pso/polish_soa.py) costs ~2 ms per 16k batch, letting PSO stop
-    # at basin-finding depth and LM finish: 16 iters + 4 polish steps
-    # beats 40 iters both ways (347.7k vs 250.6k solves/s, 99.74% vs
-    # 99.25% <1mm; out/bench_polish_soa.jsonl, docs/PERFORMANCE.md).
-    # 6th element: default top-k retry rounds (pso/restarts.py) — the
-    # worst eighth re-solves with fresh RNG inside the same jitted
-    # program. 2 rounds take the 7-DOF headline to 100.00% <1mm at
-    # 325.3k solves/s (out/bench_headline_retry.jsonl); 4 rounds lift
-    # the orientation task's wrong-basin tail to 92.1%.
-    # 7th element: retry-round init mode (None = same as the base
-    # solve). The 6-DOF orientation task's residual failures are
-    # wrong-basin captures; retrying them warm with fresh RNG lands
-    # back in the failed basin, while uniform-init retries re-explore
-    # globally: 99.5% <1mm at 6 rounds vs 92.1% at 4 warm rounds
-    # (out/bench_retryinit.jsonl, out/bench_sweep5.jsonl).
-    # arm_7dof: 8 PSO iterations are enough to FIND the basin when 4 LM
-    # steps finish it and 3 top-k retry rounds rescue the tail — the
-    # re-kick became unnecessary at this depth (retries subsume its
-    # job). 383.5k solves/s @ 100.00% <1mm measured
-    # (out/bench_sweep7.jsonl); 6 iterations opens the tail (99.74%).
-    fused_defaults = {  # model -> (particles, sw/tile, iters, rekick, polish, retries, retry_init)
-        "arm_7dof": (128, 32, 8, 0, 4, 3, None),
-        "planar_3dof": (128, 32, 16, 8, 4, 0, None),
-        "arm_6dof": (128, 32, 40, 20, 4, 6, "uniform"),
-        "dual_arm_14dof": (1024, 2, 16, 8, 4, 2, "hybrid"),
-        "reference_arm": (256, 4, 100, 0, 0, 0, None),
-        "snake_30dof": (256, 4, 16, 8, 4, 2, None),
-    }
-    # snake:<links> shares the tuned snake_30dof recipe.
-    defaults_key = "snake_30dof" if args.model.startswith("snake:") else args.model
-    if defaults_key not in fused_defaults:
+    # Measured per-model frontier recipes — shared with the CLI's
+    # --preset (provenance comments in ikpso_tpu/pso/presets.py).
+    from ikpso_tpu.pso.presets import FUSED_PRESETS, fused_preset
+
+    pre = fused_preset(args.model)
+    if pre is None:
         raise SystemExit(
             f"error: unknown model {args.model!r}; expected one of "
-            f"{sorted(fused_defaults)} or 'snake:<links>'"
+            f"{sorted(FUSED_PRESETS)} or 'snake:<links>'"
         )
-    dp, dsw, dit, drk, dpol, dret, dretinit = fused_defaults[defaults_key]
+    dp, dsw, dit, drk, dpol, dret, dretinit = (
+        pre.particles, pre.swarms_per_tile, pre.iterations,
+        pre.rekick_interval, pre.polish, pre.retries, pre.retry_init_mode,
+    )
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile

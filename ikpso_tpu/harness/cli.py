@@ -29,6 +29,14 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument(
+        "--preset", action="store_true",
+        help="apply the model's measured frontier recipe (particles, "
+        "tile packing, iterations, inertia schedule, re-kick, polish, "
+        "retries where supported — ikpso_tpu/pso/presets.py; what "
+        "bench.py runs). Explicit flags still win. Off by default: "
+        "the bare defaults stay at reference parity",
+    )
+    p.add_argument(
         "--inertia-mode",
         choices=("randomized", "canonical"),
         default=None,
@@ -67,15 +75,15 @@ def _add_common(p):
         "less motion smoothing)",
     )
     p.add_argument(
-        "--polish", type=int, default=0, metavar="K",
+        "--polish", type=int, default=None, metavar="K",
         help="K Levenberg-Marquardt polish steps on the solution "
         "through the differentiable FK (accept-if-better; 0 = off)",
     )
     p.add_argument(
-        "--swarms-per-tile", type=int, default=1,
+        "--swarms-per-tile", type=int, default=None,
         help="fused-solver swarm packing per kernel tile (batch size "
         "must divide evenly; the measured 7-DOF frontier is 32 at "
-        "P=128 — see bench.py defaults)",
+        "P=128 — see --preset)",
     )
     p.add_argument(
         "--impl",
@@ -85,6 +93,21 @@ def _add_common(p):
         "megakernel (fused, TPU only); auto picks fused on TPU when the "
         "particle count allows",
     )
+
+
+def _clamp_packing(args, batch: int) -> None:
+    """Shrink the tile packing to divide the command's solve batch.
+
+    The fused kernel packs ``swarms_per_tile`` complete swarms per
+    grid step, so the batch must divide evenly; a preset tuned at
+    batch 16384 (packing 32) must not break ``solve`` (batch 1) or a
+    small ``--paths``/--batch. Halving preserves power-of-two tile
+    heights.
+    """
+    sw = max(1, args.swarms_per_tile)
+    while sw > 1 and batch % sw:
+        sw //= 2
+    args.swarms_per_tile = sw
 
 
 def _pick_impl(args, cfg) -> str:
@@ -98,14 +121,16 @@ def _pick_impl(args, cfg) -> str:
                 "(the megakernel uses the on-core PRNG); use --impl jnp on CPU"
             )
         return args.impl
-    # Auto picks fused only when the whole swarm state fits VMEM
-    # comfortably (3 state arrays x DOF x P x 4B per swarm; P > 4096
-    # at 21 DOF pushes past the ~16 MB/core budget) and the chain fits
-    # the megakernel's 128-lane gbest row (dof <= 128 — deeper chains,
-    # e.g. snake:43+, take the scan solver).
+    # Auto picks fused only when the packed tile fits VMEM comfortably
+    # (3 state arrays x DOF x P x swarms_per_tile x 4B per tile;
+    # beyond ~4096 packed rows at 21 DOF pushes past the ~16 MB/core
+    # budget), the tile is at least 8 sublanes tall, and the chain
+    # fits the megakernel's 128-lane gbest row (dof <= 128 — deeper
+    # chains, e.g. snake:43+, take the scan solver).
+    packed = cfg.num_particles * getattr(args, "swarms_per_tile", 1)
     fits = (
-        1024 <= cfg.num_particles <= 4096
-        and cfg.num_particles % 1024 == 0
+        cfg.num_particles % 128 == 0
+        and 1024 <= packed <= 4096
         and cfg.spec.dof <= 128
     )
     return "fused" if on_tpu and fits else "jnp"
@@ -118,6 +143,46 @@ def _load(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    # --preset: fill every knob the user left unset from the model's
+    # measured frontier recipe (pso/presets.py). Filled into `args` so
+    # the ordinary flag-override machinery below applies them; explicit
+    # flags therefore always win.
+    pre = None
+    if getattr(args, "preset", False):
+        if args.config:
+            raise SystemExit(
+                "--preset and --config are mutually exclusive (a JSON "
+                "config is already an explicit full configuration)"
+            )
+        from ikpso_tpu.pso.presets import fused_preset
+
+        pre = fused_preset(args.model)
+        if pre is None:
+            raise SystemExit(f"no preset for model {args.model!r}")
+        if args.particles is None:
+            args.particles = pre.particles
+        if args.iterations is None:
+            args.iterations = pre.iterations
+        if args.inertia_mode is None:
+            args.inertia_mode = "canonical"
+        if args.rekick_interval is None:
+            args.rekick_interval = pre.rekick_interval
+        if args.rekick_scale is None:
+            args.rekick_scale = pre.rekick_scale
+        if args.rekick_threshold is None:
+            args.rekick_threshold = pre.rekick_threshold
+        if args.polish is None:
+            args.polish = pre.polish
+        if args.swarms_per_tile is None:
+            args.swarms_per_tile = pre.swarms_per_tile
+        if hasattr(args, "retries") and args.retries is None:
+            args.retries = pre.retries
+        if (
+            hasattr(args, "retry_init_mode")
+            and args.retry_init_mode is None
+        ):
+            args.retry_init_mode = pre.retry_init_mode
     # Persistent compilation cache (shared with bench.py): Mosaic/XLA
     # compiles over a TPU tunnel take minutes; cache them across
     # processes.
@@ -169,6 +234,19 @@ def _load(args):
             cfg, fitness=dataclasses.replace(cfg.fitness,
                                              angle_weight=args.angle_weight)
         )
+    if pre is not None and cfg.pso.inertia_mode == "canonical":
+        # The frontier recipes were measured with the canonical
+        # explore-then-exploit decay (no CLI flag for inertia_end).
+        cfg = dataclasses.replace(
+            cfg, pso=dataclasses.replace(
+                cfg.pso, inertia=pre.inertia, inertia_end=pre.inertia_end
+            )
+        )
+    # Normalize the preset-aware optional flags for downstream code.
+    args.polish = args.polish or 0
+    args.swarms_per_tile = args.swarms_per_tile or 1
+    if hasattr(args, "retries"):
+        args.retries = args.retries or 0
     return cfg
 
 
@@ -176,6 +254,7 @@ def cmd_solve(args) -> int:
     import jax
 
     cfg = _load(args)
+    _clamp_packing(args, 1)
     impl = _pick_impl(args, cfg)
     if impl == "fused":
         from ikpso_tpu.pso.fused import make_fused_solver
@@ -246,6 +325,13 @@ def cmd_experiment(args) -> int:
     from ikpso_tpu.native import make_diagnostics_writer
 
     cfg = _load(args)
+    # Trial chunks are unpadded (full trial_batch chunks plus one
+    # remainder chunk), so the packing must divide every chunk size.
+    import math
+
+    full = min(args.trials, args.trial_batch)
+    rem = args.trials % args.trial_batch if args.trials > args.trial_batch else 0
+    _clamp_packing(args, math.gcd(full, rem) if rem else full)
     diag = make_diagnostics_writer(args.outdir) if args.outdir else None
     reset = (
         reference_reset_targets()
@@ -283,6 +369,9 @@ def cmd_sweep(args) -> int:
     from ikpso_tpu.harness.trajectory import solve_waypoints
 
     cfg = _load(args)
+    # solve_waypoints pads the tail chunk to the static batch size, so
+    # dividing the batch is sufficient.
+    _clamp_packing(args, args.batch)
     rng = np.random.default_rng(args.seed)
     # Sample reachable waypoints around the configured targets.
     base = np.asarray(cfg.problem.targets)
@@ -324,6 +413,7 @@ def cmd_track(args) -> int:
     from ikpso_tpu.harness.trajectory import circle_paths, track_trajectories
 
     cfg = _load(args)
+    _clamp_packing(args, args.paths)
     path = circle_paths(
         np.asarray(cfg.problem.targets),
         steps=args.steps,
@@ -421,8 +511,9 @@ def main(argv=None) -> int:
     p.add_argument("--jitter", type=float, default=0.25)
     p.add_argument("--checkpoint", default=None)
     p.add_argument(
-        "--retries", type=int, default=0,
-        help="top-k retry rounds per batch (re-solve the worst eighth)",
+        "--retries", type=int, default=None,
+        help="top-k retry rounds per batch (re-solve the worst eighth; "
+        "default 0, or the model preset's with --preset)",
     )
     p.add_argument(
         "--retry-init-mode", choices=("warm", "uniform", "hybrid"),

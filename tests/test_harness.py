@@ -228,6 +228,33 @@ def test_cli_solve_and_viz(tmp_path, capsys):
     assert "SCENE" in content and "nodes" in content
 
 
+def test_cli_preset_applies_frontier_recipe(capsys):
+    # --preset fills unset knobs from pso/presets.py (canonical decay,
+    # iterations, polish) while explicit flags still win.
+    from ikpso_tpu.harness.cli import main
+    from ikpso_tpu.pso.presets import fused_preset
+
+    pre = fused_preset("arm_7dof")
+    rc = main(["solve", "--model", "arm_7dof", "--preset", "--cpu"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    # trace has one entry per iteration plus init.
+    assert len(out["trace"]) == pre.iterations + 1
+    assert out["effector_error"] < 0.05  # polish ran (PSO alone ~0.1+)
+
+    # Explicit --iterations overrides the preset's.
+    rc = main(
+        ["solve", "--model", "arm_7dof", "--preset", "--iterations", "3",
+         "--cpu"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["trace"]) == 4
+
+    # snake:<links> shares the snake_30dof preset.
+    assert fused_preset("snake:25") is fused_preset("snake_30dof")
+
+
 def test_configio_roundtrip():
     from ikpso_tpu.utils.configio import dump_config, load_config
 
