@@ -55,18 +55,19 @@ FUSED_PRESETS = {
     # 6 uniform-init rounds vs 92.1% with warm retries
     # (out/bench_retryinit.jsonl).
     "arm_6dof": FusedPreset(128, 32, 40, 20, 4, 6, "uniform"),
-    # 51.7k @ 100.00% (out/bench_sweep10.jsonl): 14-DOF needs the big
+    # 60.6k @ 100.00% (out/bench_sweep12.jsonl): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
-    # two-arm wrong-basin tail.
-    "dual_arm_14dof": FusedPreset(1024, 2, 16, 8, 4, 2, "hybrid"),
+    # two-arm wrong-basin tail. 8 it reaches 83.1k but leaves 99.99%
+    # (p90 0.02 mm) — 12 it is the 100.00% frontier.
+    "dual_arm_14dof": FusedPreset(1024, 2, 12, 6, 4, 3, "hybrid"),
     # Single-shot far targets are not this model's protocol (the
     # reference re-solves per frame; see harness.experiment) — deep
     # budget kept for kernel-rate evidence.
     "reference_arm": FusedPreset(256, 4, 100, 0, 0, 0),
-    # 95.8k @ 100% at 30 DOF; the same recipe holds 100% at every
-    # depth measured (62.1k @ 60 DOF, 44.5k @ 90 DOF,
-    # out/bench_sweep11.jsonl). snake:<links> shares it.
-    "snake_30dof": FusedPreset(256, 4, 16, 8, 4, 2),
+    # 137.0k @ 100% at 30 DOF (out/bench_sweep12.jsonl); the recipe
+    # holds 100% at every depth measured (out/bench_sweep13.jsonl).
+    # snake:<links> shares it.
+    "snake_30dof": FusedPreset(256, 4, 8, 4, 4, 2),
 }
 
 
