@@ -55,11 +55,11 @@ FUSED_PRESETS = {
     # 6 uniform-init rounds vs 92.1% with warm retries
     # (out/bench_retryinit.jsonl).
     "arm_6dof": FusedPreset(128, 32, 40, 20, 4, 6, "uniform"),
-    # 60.6k @ 100.00% (out/bench_sweep12.jsonl): 14-DOF needs the big
+    # 78.8k @ 100.00% (out/bench_sweep13.jsonl): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
-    # two-arm wrong-basin tail. 8 it reaches 83.1k but leaves 99.99%
-    # (p90 0.02 mm) — 12 it is the 100.00% frontier.
-    "dual_arm_14dof": FusedPreset(1024, 2, 12, 6, 4, 3, "hybrid"),
+    # two-arm wrong-basin tail (3 rounds leave 99.99% at 8 it; the
+    # 4th closes it).
+    "dual_arm_14dof": FusedPreset(1024, 2, 8, 4, 4, 4, "hybrid"),
     # Single-shot far targets are not this model's protocol (the
     # reference re-solves per frame; see harness.experiment) — deep
     # budget kept for kernel-rate evidence.
