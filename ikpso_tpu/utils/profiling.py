@@ -74,13 +74,22 @@ def trace(logdir: Optional[str]):
 
 
 def measure(fn, *args, warmup: int = 1, iters: int = 5):
-    """Best-of wall time for a jitted callable; returns (result, seconds)."""
+    """Median wall time for a jitted callable; returns (result, seconds).
+
+    Median, not min: the tunnel transport occasionally completes a
+    repeat dispatch near-instantly (observed sub-ms walls for 40 ms
+    programs — a transport artifact, not device time), and best-of-N
+    latches onto exactly those outliers. The median of 5 is immune to
+    one or two corrupt samples in either direction.
+    """
+    import statistics
+
     result = None
     for _ in range(max(warmup, 1)):
         result = jax.block_until_ready(fn(*args))
-    best = float("inf")
+    samples = []
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
         result = jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return result, best
+        samples.append(time.perf_counter() - t0)
+    return result, statistics.median(samples)
