@@ -64,10 +64,11 @@ FUSED_PRESETS = {
     # reference re-solves per frame; see harness.experiment) — deep
     # budget kept for kernel-rate evidence.
     "reference_arm": FusedPreset(256, 4, 100, 0, 0, 0),
-    # 137.0k @ 100% at 30 DOF (out/bench_sweep12.jsonl); the recipe
-    # holds 100% at every depth measured (out/bench_sweep13.jsonl).
-    # snake:<links> shares it.
-    "snake_30dof": FusedPreset(256, 4, 8, 4, 4, 2),
+    # 181.8k @ 100% at 30 DOF; 100% holds at every depth measured at
+    # 4 it (91.8k @ 90 DOF, out/bench_sweep{15,16}.jsonl). This is the
+    # floor: 2 it measures the same wall (polish + retries + dispatch
+    # dominate). snake:<links> shares the recipe.
+    "snake_30dof": FusedPreset(256, 4, 4, 2, 4, 2),
 }
 
 
