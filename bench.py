@@ -186,8 +186,12 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
             import dataclasses as _dc
 
             retry_solver = build(_dc.replace(pso, init_mode=retry_init_mode))
+        # Bucket scales with the batch (1/16th, min 1024): a fixed
+        # 1024 stops covering the ~2% pre-retry tail beyond S=49k
+        # (99.91% at S=131072 with bucket 1024; out/bench_sweep17.jsonl).
         solver = make_topk_retry_solver(
-            solver, err_threshold=1e-3, rounds=retries, bucket=1024,
+            solver, err_threshold=1e-3, rounds=retries,
+            bucket=max(1024, s // 16),
             retry_solver=retry_solver,
         )
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
@@ -223,7 +227,10 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--swarms", type=int, default=16384)
+    # 65536: the ~27 ms tunnel/PCIe dispatch amortizes over a bigger
+    # batch (16384 -> 383k, 65536 -> ~700k, 131072 -> ~820k solves/s;
+    # out/bench_sweep17.jsonl); 65536 keeps the batch wall under 100 ms.
+    parser.add_argument("--swarms", type=int, default=65536)
     parser.add_argument(
         "--particles",
         type=int,
