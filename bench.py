@@ -173,27 +173,16 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
             )
         return sv
 
-    solver = build(pso)
-    if retries:
-        from ikpso_tpu.pso.restarts import make_topk_retry_solver
+    from ikpso_tpu.pso.restarts import wrap_with_topk_retries
 
-        # Retry rounds may re-explore with a different swarm init:
-        # wrong-basin failures retried warm with fresh RNG tend to
-        # land back in the failed basin; a hybrid/uniform retry init
-        # de-correlates them (the base solve stays warm).
-        retry_solver = None
-        if retry_init_mode and retry_init_mode != init_mode:
-            import dataclasses as _dc
-
-            retry_solver = build(_dc.replace(pso, init_mode=retry_init_mode))
-        # Bucket scales with the batch (1/16th, min 1024): a fixed
-        # 1024 stops covering the ~2% pre-retry tail beyond S=49k
-        # (99.91% at S=131072 with bucket 1024; out/bench_sweep17.jsonl).
-        solver = make_topk_retry_solver(
-            solver, err_threshold=1e-3, rounds=retries,
-            bucket=max(1024, s // 16),
-            retry_solver=retry_solver,
-        )
+    # Bucket scales with the batch (1/16th, min 1024): a fixed 1024
+    # stops covering the ~2% pre-retry tail beyond S=49k (99.91% at
+    # S=131072 with bucket 1024; out/bench_sweep17.jsonl).
+    solver = wrap_with_topk_retries(
+        build, pso, rounds=retries, bucket=max(1024, s // 16),
+        retry_init_mode=retry_init_mode,
+        swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
+    )
     res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
     err_mm = np.asarray(res.effector_error) * 1000.0
     scored = err_mm if feasible is None else err_mm[feasible]
@@ -401,8 +390,11 @@ def main() -> int:
         retries = dret
     else:
         retries = 0
+    # The preset's retry init applies whenever retries run and the user
+    # didn't pick one (keying on count equality silently reverted
+    # custom --retries runs to warm retries).
     retry_init_mode = args.retry_init_mode
-    if retry_init_mode is None and retries == dret and impl == "fused":
+    if retry_init_mode is None and retries and impl == "fused":
         retry_init_mode = dretinit
 
     from ikpso_tpu.models import library

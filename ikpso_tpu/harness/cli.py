@@ -120,6 +120,19 @@ def _pick_impl(args, cfg) -> str:
                 "error: --impl fused requires a TPU backend "
                 "(the megakernel uses the on-core PRNG); use --impl jnp on CPU"
             )
+        if args.impl == "fused":
+            sw = getattr(args, "swarms_per_tile", 1)
+            rows = sw * (cfg.num_particles // 128)
+            if cfg.num_particles % 128 or rows < 8:
+                raise SystemExit(
+                    f"error: the fused kernel needs particles % 128 == 0 "
+                    f"and swarms_per_tile * particles/128 >= 8 sublanes; "
+                    f"got particles={cfg.num_particles}, "
+                    f"swarms_per_tile={sw} (the packing may have been "
+                    f"clamped to divide this command's solve batch — "
+                    f"raise --particles to at least {8 * 128 // sw} or "
+                    f"use a larger batch)"
+                )
         return args.impl
     # Auto picks fused only when the packed tile fits VMEM comfortably
     # (3 state arrays x DOF x P x swarms_per_tile x 4B per tile;

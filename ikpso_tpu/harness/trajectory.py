@@ -269,6 +269,8 @@ def solve_waypoints(
                 fit=fit,
                 obstacles=obstacles,
                 num_particles=num_particles,
+                impl=impl,
+                swarms_per_tile=swarms_per_tile,
             )
 
         if polish:
@@ -281,22 +283,13 @@ def solve_waypoints(
             )
         return sv
 
-    solver = build(pso)
-    if retries:
-        from ikpso_tpu.pso.restarts import make_topk_retry_solver
+    from ikpso_tpu.pso.restarts import wrap_with_topk_retries
 
-        retry_solver = None
-        if retry_init_mode and retry_init_mode != pso.init_mode:
-            retry_solver = build(
-                dataclasses.replace(pso, init_mode=retry_init_mode)
-            )
-        solver = make_topk_retry_solver(
-            solver,
-            bucket=max(1, batch_size // 8),
-            err_threshold=retry_err_threshold,
-            rounds=retries,
-            retry_solver=retry_solver,
-        )
+    solver = wrap_with_topk_retries(
+        build, pso, rounds=retries, bucket=max(1, batch_size // 8),
+        err_threshold=retry_err_threshold, retry_init_mode=retry_init_mode,
+        swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
+    )
 
     run_key = state.key
     start = time.perf_counter()

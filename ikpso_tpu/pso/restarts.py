@@ -121,6 +121,45 @@ def make_retry_solver(solver: Solver, **retry_kwargs) -> Solver:
     return _solve
 
 
+def wrap_with_topk_retries(
+    build,
+    pso,
+    *,
+    rounds: int,
+    bucket: int,
+    err_threshold: float = 1e-3,
+    retry_init_mode: Optional[str] = None,
+    swarms_per_tile: int = 1,
+) -> Solver:
+    """Build a solver and wrap it in jitted top-k retries.
+
+    ``build(pso_config) -> Solver`` constructs the (possibly
+    polish-wrapped) solver; when ``retry_init_mode`` differs from the
+    base config's init, the retry rounds get their OWN solver with
+    that init — a warm retry with fresh RNG tends to land back in the
+    failed basin, while a uniform/hybrid retry re-explores globally
+    (docs/PERFORMANCE.md "Diverse-init retries").
+
+    ``bucket`` is rounded up to a multiple of ``swarms_per_tile`` so
+    the retry sub-batch satisfies the fused kernel's packing
+    divisibility (the base batch is validated separately).
+    """
+    solver = build(pso)
+    if not rounds:
+        return solver
+    retry_solver = None
+    if retry_init_mode and retry_init_mode != pso.init_mode:
+        retry_solver = build(
+            dataclasses.replace(pso, init_mode=retry_init_mode)
+        )
+    sw = max(1, swarms_per_tile)
+    bucket = max(sw, (bucket + sw - 1) // sw * sw)
+    return make_topk_retry_solver(
+        solver, err_threshold=err_threshold, rounds=rounds, bucket=bucket,
+        retry_solver=retry_solver,
+    )
+
+
 def make_topk_retry_solver(
     solver: Solver,
     *,
