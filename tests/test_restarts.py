@@ -119,3 +119,44 @@ def test_retry_bucket_padding_and_chunking():
         err = np.asarray(res.effector_error)
         assert (err <= base_err + 1e-7).all(), bucket
         assert (err < 0.05).mean() >= (base_err < 0.05).mean()
+
+
+def test_wrap_with_topk_retries_builder_and_bucket_alignment():
+    # The builder constructs base + diverse-init retry solvers from one
+    # build() and aligns the bucket up to the tile packing.
+    from ikpso_tpu.pso.restarts import wrap_with_topk_retries
+
+    spec, batched = _setup(s=8)
+    fit = FitnessConfig(angle_weight=0.0)
+    built_inits = []
+
+    def build(pso_cfg):
+        built_inits.append(pso_cfg.init_mode)
+        return make_solver(spec, pso=pso_cfg, fit=fit, num_particles=64)
+
+    pso = PSOConfig(iterations=4)
+    solver = wrap_with_topk_retries(
+        build, pso, rounds=2, bucket=3, retry_init_mode="uniform",
+        swarms_per_tile=4,
+    )
+    # Two solvers built: warm base + uniform retry.
+    assert built_inits == ["warm", "uniform"]
+    res = solver(batched, jax.random.key(0))
+    assert np.isfinite(np.asarray(res.effector_error)).all()
+
+    # rounds=0 is a passthrough: exactly one solver, same results.
+    built_inits.clear()
+    bare = wrap_with_topk_retries(
+        build, pso, rounds=0, bucket=3, retry_init_mode="uniform",
+    )
+    assert built_inits == ["warm"]
+    r0 = bare(batched, jax.random.key(0))
+    r1 = build(pso)(batched, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(r0.angles), np.asarray(r1.angles))
+
+    # Same init for retries -> no second build.
+    built_inits.clear()
+    wrap_with_topk_retries(
+        build, pso, rounds=1, bucket=4, retry_init_mode="warm",
+    )
+    assert built_inits == ["warm"]
