@@ -216,10 +216,12 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    # 65536: the ~27 ms tunnel/PCIe dispatch amortizes over a bigger
-    # batch (16384 -> 383k, 65536 -> ~700k, 131072 -> ~820k solves/s;
-    # out/bench_sweep17.jsonl); 65536 keeps the batch wall under 100 ms.
-    parser.add_argument("--swarms", type=int, default=65536)
+    # 262144: the ~27 ms tunnel/PCIe dispatch amortizes over a bigger
+    # batch (16384 -> 383k, 65536 -> 622k, 262144 -> 766k solves/s @
+    # 100.00% <1mm; out/bench_sweep{17,18,21}.jsonl). On-device cost is
+    # ~1.2 us/solve, so 262144 captures ~92% of the dispatch-free
+    # asymptote at a 342 ms batch wall.
+    parser.add_argument("--swarms", type=int, default=262144)
     parser.add_argument(
         "--particles",
         type=int,
