@@ -46,15 +46,17 @@ FUSED_PRESETS = {
     # finish, 3 retry rounds erase the tail; the re-kick is dead
     # weight at this depth.
     "arm_7dof": FusedPreset(128, 32, 8, 0, 4, 3),
-    # 345.7k @ 100%: planar's residual tail is warm-retry-resistant
-    # (8 it + retries plateaus at 99.98%), so it keeps the deeper
-    # retry-free recipe that measures 100%.
-    "planar_3dof": FusedPreset(128, 32, 16, 8, 4, 0),
-    # 222.3k @ 99.5%: the exactly-determined position+orientation task
-    # leaves wrong-basin failures that only DIVERSE retries fix —
-    # 6 uniform-init rounds vs 92.1% with warm retries
-    # (out/bench_retryinit.jsonl).
-    "arm_6dof": FusedPreset(128, 32, 40, 20, 4, 6, "uniform"),
+    # 781.8k @ 100.000% (out/bench_sweep22.jsonl): planar's residual
+    # tail is warm-retry-resistant (8 it + warm retries plateaus at
+    # 99.98%) but uniform-init retries close it — its failures are
+    # wrong-basin, not premature convergence.
+    "planar_3dof": FusedPreset(128, 32, 8, 0, 4, 2, "uniform"),
+    # 321.4k @ 99.81% (out/bench_sweep22.jsonl): the exactly-determined
+    # position+orientation task leaves wrong-basin failures that only
+    # DIVERSE retries fix (92.1% with warm retries,
+    # out/bench_retryinit.jsonl); 8 uniform-init rounds is the
+    # measured frontier of that tradeoff.
+    "arm_6dof": FusedPreset(128, 32, 40, 20, 4, 8, "uniform"),
     # 78.8k @ 100.00% (out/bench_sweep13.jsonl): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
     # two-arm wrong-basin tail (3 rounds leave 99.99% at 8 it; the
