@@ -216,12 +216,12 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    # 262144: the ~27 ms tunnel/PCIe dispatch amortizes over a bigger
-    # batch (16384 -> 383k, 65536 -> 622k, 262144 -> 766k solves/s @
-    # 100.00% <1mm; out/bench_sweep{17,18,21}.jsonl). On-device cost is
-    # ~1.2 us/solve, so 262144 captures ~92% of the dispatch-free
-    # asymptote at a 342 ms batch wall.
-    parser.add_argument("--swarms", type=int, default=262144)
+    # Default: the model preset's batch. Bigger batches amortize the
+    # ~27 ms tunnel/PCIe dispatch (16384 -> 383k, 65536 -> 622k,
+    # 262144 -> 766k solves/s @ 100.00% <1mm;
+    # out/bench_sweep{17,18,21}.jsonl); deep chains cap at 65536
+    # (30-DOF polish intermediates OOM HBM at 262144).
+    parser.add_argument("--swarms", type=int, default=None)
     parser.add_argument(
         "--particles",
         type=int,
@@ -357,6 +357,8 @@ def main() -> int:
         pre.particles, pre.swarms_per_tile, pre.iterations,
         pre.rekick_interval, pre.polish, pre.retries, pre.retry_init_mode,
     )
+    if args.swarms is None:
+        args.swarms = pre.swarms if impl == "fused" else 16384
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile

@@ -38,6 +38,12 @@ class FusedPreset:
     # explore-then-exploit inertia schedule.
     inertia: float = 0.5
     inertia_end: float = 0.2
+    # Benchmark batch: bigger batches amortize the per-dispatch
+    # overhead (~27 ms over the tunnel), but the LM polish's unrolled
+    # per-DOF intermediates scale with S x DOF^2 — 30-DOF chains OOM
+    # the 16 GB HBM at S=262144 (measured 22.25G), so deep chains cap
+    # the batch at 65536.
+    swarms: int = 262_144
 
 
 FUSED_PRESETS = {
@@ -57,7 +63,8 @@ FUSED_PRESETS = {
     # out/bench_retryinit.jsonl); 8 uniform-init rounds is the
     # measured frontier of that tradeoff.
     "arm_6dof": FusedPreset(128, 32, 40, 20, 4, 8, "uniform"),
-    # 78.8k @ 100.00% (out/bench_sweep13.jsonl): 14-DOF needs the big
+    # 87.9k @ 100.00% at the default batch (out/bench_sweep23.jsonl;
+    # 78.8k @ S=16384, out/bench_sweep13.jsonl): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
     # two-arm wrong-basin tail (3 rounds leave 99.99% at 8 it; the
     # 4th closes it).
@@ -66,11 +73,13 @@ FUSED_PRESETS = {
     # reference re-solves per frame; see harness.experiment) — deep
     # budget kept for kernel-rate evidence.
     "reference_arm": FusedPreset(256, 4, 100, 0, 0, 0),
-    # 181.8k @ 100% at 30 DOF; 100% holds at every depth measured at
-    # 4 it (91.8k @ 90 DOF, out/bench_sweep{15,16}.jsonl). This is the
-    # floor: 2 it measures the same wall (polish + retries + dispatch
-    # dominate). snake:<links> shares the recipe.
-    "snake_30dof": FusedPreset(256, 4, 4, 2, 4, 2),
+    # 221.2k @ 100% at 30 DOF (S=65536, out/bench_sweep19.jsonl); 100%
+    # holds at every depth measured (160.9k @ 60 DOF, 113.2k @ 90 DOF,
+    # out/bench_sweep20.jsonl). 4 it is the floor: 2 it measures the
+    # same wall (polish + retries + dispatch dominate). Deep chains
+    # cap the batch at 65536 (see `swarms`). snake:<links> shares the
+    # recipe.
+    "snake_30dof": FusedPreset(256, 4, 4, 2, 4, 2, swarms=65_536),
 }
 
 
