@@ -47,22 +47,24 @@ class FusedPreset:
 
 
 FUSED_PRESETS = {
-    # 383.5k solves/s @ 100.00% <1mm (out/bench_sweep7.jsonl): with
+    # 822.4k solves/s @ 100.00% <1mm (out/bench_sweep25.jsonl): with
     # retries in place 8 PSO iterations find the basin, 4 LM steps
     # finish, 3 retry rounds erase the tail; the re-kick is dead
-    # weight at this depth.
-    "arm_7dof": FusedPreset(128, 32, 8, 0, 4, 3),
-    # 781.8k @ 100.000% (out/bench_sweep22.jsonl): planar's residual
+    # weight at this depth. Tile packing peaks at 128 swarms per
+    # (896,128) tile (sw=32: 766k, sw=64: 817k, sw=256: 782k —
+    # out/bench_sweep{24,25,26}.jsonl).
+    "arm_7dof": FusedPreset(128, 128, 8, 0, 4, 3),
+    # 867.1k @ 100.000% (out/bench_sweep26.jsonl): planar's residual
     # tail is warm-retry-resistant (8 it + warm retries plateaus at
     # 99.98%) but uniform-init retries close it — its failures are
     # wrong-basin, not premature convergence.
-    "planar_3dof": FusedPreset(128, 32, 8, 0, 4, 2, "uniform"),
-    # 321.4k @ 99.81% (out/bench_sweep22.jsonl): the exactly-determined
+    "planar_3dof": FusedPreset(128, 128, 8, 0, 4, 2, "uniform"),
+    # 350.5k @ 99.82% (out/bench_sweep26.jsonl): the exactly-determined
     # position+orientation task leaves wrong-basin failures that only
     # DIVERSE retries fix (92.1% with warm retries,
     # out/bench_retryinit.jsonl); 8 uniform-init rounds is the
     # measured frontier of that tradeoff.
-    "arm_6dof": FusedPreset(128, 32, 40, 20, 4, 8, "uniform"),
+    "arm_6dof": FusedPreset(128, 128, 40, 20, 4, 8, "uniform"),
     # 87.9k @ 100.00% at the default batch (out/bench_sweep23.jsonl;
     # 78.8k @ S=16384, out/bench_sweep13.jsonl): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
