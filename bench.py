@@ -183,7 +183,13 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         retry_init_mode=retry_init_mode,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
     )
-    res, wall = measure(solver, batched, key_s, warmup=2, iters=5)
+    # Distinct key per timed call: repeat dispatches of identical
+    # args are cache-served by the tunnel transport (~0 ms walls),
+    # poisoning the timing stats.
+    res, wall = measure(
+        solver, batched, key_s, warmup=2, iters=5,
+        vary=lambda i, a: (a[0], jax.random.fold_in(a[1], i)),
+    )
     err_mm = np.asarray(res.effector_error) * 1000.0
     scored = err_mm if feasible is None else err_mm[feasible]
     flops = solve_flops(spec, num_particles, s, pso)

@@ -73,23 +73,28 @@ def trace(logdir: Optional[str]):
         yield
 
 
-def measure(fn, *args, warmup: int = 1, iters: int = 5):
+def measure(fn, *args, warmup: int = 1, iters: int = 5, vary=None):
     """Median wall time for a jitted callable; returns (result, seconds).
 
-    Median, not min: the tunnel transport occasionally completes a
-    repeat dispatch near-instantly (observed sub-ms walls for 40 ms
-    programs — a transport artifact, not device time), and best-of-N
-    latches onto exactly those outliers. The median of 5 is immune to
-    one or two corrupt samples in either direction.
+    Median, not min: the tunnel transport completes repeat dispatches
+    of IDENTICAL arguments near-instantly (observed sub-ms walls for
+    300 ms programs — served from a transport cache, not the device),
+    and best-of-N latches onto exactly those corrupt samples; with
+    enough repeats even the median is poisoned. ``vary(i, args) ->
+    args`` produces distinct per-iteration inputs (e.g. fold the
+    index into the RNG key) so no dispatch repeats — the reliable
+    fix; the median then only has to absorb scheduler jitter.
     """
     import statistics
 
     result = None
-    for _ in range(max(warmup, 1)):
-        result = jax.block_until_ready(fn(*args))
+    for i in range(max(warmup, 1)):
+        a = vary(-1 - i, args) if vary else args
+        result = jax.block_until_ready(fn(*a))
     samples = []
-    for _ in range(max(iters, 1)):
+    for i in range(max(iters, 1)):
+        a = vary(i, args) if vary else args
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args))
+        result = jax.block_until_ready(fn(*a))
         samples.append(time.perf_counter() - t0)
     return result, statistics.median(samples)
