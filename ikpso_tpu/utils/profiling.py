@@ -89,7 +89,10 @@ def measure(fn, *args, warmup: int = 1, iters: int = 5, vary=None):
 
     result = None
     for i in range(max(warmup, 1)):
-        a = vary(-1 - i, args) if vary else args
+        # Warmup indices sit above the timed range (vary hooks may
+        # feed the index to jax.random.fold_in, which rejects
+        # negative values).
+        a = vary(max(iters, 1) + i, args) if vary else args
         result = jax.block_until_ready(fn(*a))
     samples = []
     for i in range(max(iters, 1)):
