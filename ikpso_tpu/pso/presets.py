@@ -65,23 +65,23 @@ FUSED_PRESETS = {
     # out/bench_retryinit.jsonl); 8 uniform-init rounds is the
     # measured frontier of that tradeoff.
     "arm_6dof": FusedPreset(128, 128, 40, 20, 4, 8, "uniform"),
-    # 87.9k @ 100.00% at the default batch (out/bench_sweep23.jsonl;
-    # 78.8k @ S=16384, out/bench_sweep13.jsonl): 14-DOF needs the big
+    # 103.8k @ 100.00% (out/bench_sweep28.jsonl; sw/tile 2: 87.9k,
+    # sw/tile 4: 97.3k): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
     # two-arm wrong-basin tail (3 rounds leave 99.99% at 8 it; the
     # 4th closes it).
-    "dual_arm_14dof": FusedPreset(1024, 2, 8, 4, 4, 4, "hybrid"),
+    "dual_arm_14dof": FusedPreset(1024, 8, 8, 4, 4, 4, "hybrid"),
     # Single-shot far targets are not this model's protocol (the
     # reference re-solves per frame; see harness.experiment) — deep
     # budget kept for kernel-rate evidence.
     "reference_arm": FusedPreset(256, 4, 100, 0, 0, 0),
-    # 221.2k @ 100% at 30 DOF (S=65536, out/bench_sweep19.jsonl); 100%
+    # 252.5k @ 100% at 30 DOF (sw/tile 16, out/bench_sweep28.jsonl); 100%
     # holds at every depth measured (160.9k @ 60 DOF, 113.2k @ 90 DOF,
     # out/bench_sweep20.jsonl). 4 it is the floor: 2 it measures the
     # same wall (polish + retries + dispatch dominate). Deep chains
     # cap the batch at 65536 (see `swarms`). snake:<links> shares the
     # recipe.
-    "snake_30dof": FusedPreset(256, 4, 4, 2, 4, 2, swarms=65_536),
+    "snake_30dof": FusedPreset(256, 16, 4, 2, 4, 2, swarms=65_536),
 }
 
 
