@@ -324,6 +324,18 @@ def main() -> int:
         metavar="LOGDIR",
         help="capture a jax.profiler trace of the measured solves",
     )
+    parser.add_argument(
+        "--record",
+        default=None,
+        metavar="FILE",
+        help="append the JSON record (plus model/session metadata) to "
+        "FILE — tracked provenance under bench_records/",
+    )
+    parser.add_argument(
+        "--session",
+        default=None,
+        help="session tag stamped into --record lines",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -478,6 +490,12 @@ def main() -> int:
         record["p50_orient_err_deg"] = round(stats["p50_orient_err_deg"], 3)
         record["p90_orient_err_deg"] = round(stats["p90_orient_err_deg"], 3)
     print(json.dumps(record))
+    if args.record:
+        logged = {"model": args.model, **record}
+        if args.session:
+            logged = {"session": args.session, **logged}
+        with open(args.record, "a") as fh:
+            fh.write(json.dumps(logged) + "\n")
     return 0
 
 
