@@ -72,6 +72,7 @@ def solve_sharded(
     jit: bool = True,
     impl: str = "jnp",
     swarms_per_tile: int = 1,
+    interpret=False,
 ) -> SolveResult:
     """Solve a swarm batch across a device mesh.
 
@@ -128,6 +129,7 @@ def solve_sharded(
         fused = make_fused_solver(
             chain, pso=pso, fit=fit, obstacles=obstacles,
             num_particles=num_particles, swarms_per_tile=swarms_per_tile,
+            interpret=interpret,
         )
 
     def body(local_problem: IKProblem, k: jnp.ndarray) -> SolveResult:

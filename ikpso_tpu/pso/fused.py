@@ -501,6 +501,12 @@ def fused_solve_raw(
             )
         )
         args.append(uniforms)
+    # Under shard_map (ikpso_tpu.parallel.sharded impl="fused") the
+    # output varies over whatever mesh axes the inputs vary over; the
+    # vma must be declared explicitly on pallas_call out_shapes.
+    vma = frozenset()
+    for a in args:
+        vma |= frozenset(getattr(jax.typeof(a), "vma", ()) or ())
     out = pl.pallas_call(
         kernel,
         grid=(grid_n,),
@@ -509,7 +515,9 @@ def fused_solve_raw(
         out_specs=pl.BlockSpec(
             (1, sw_count, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((grid_n, sw_count, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_n, sw_count, LANES), jnp.float32, vma=vma
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops_pp * s * num_particles,
             bytes_accessed=s * (k + LANES) * 4,
