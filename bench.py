@@ -64,7 +64,8 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           swarms_per_tile=1,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
-                          rekick_threshold=-1.0, obstacles=None, polish=0):
+                          rekick_threshold=-1.0, obstacles=None, polish=0,
+                          collision_shape="box"):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -108,8 +109,9 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     # the percentiles that says nothing about the solver.
     feasible = None
     if obstacles is not None and obstacles.count:
-        from ikpso_tpu.ops.collision import chain_collides
+        from ikpso_tpu.ops.collision import get_chain_collider
 
+        chain_collides = get_chain_collider("sat", collision_shape)
         pos, rot = fk_ops.fk(spec, rand_pose, problem.origin)
         parent_pos = pos[..., list(spec.parent[1:]), :]
         hit = chain_collides(
@@ -134,6 +136,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     fit = FitnessConfig(
         angle_weight=0.0, distance_weight=0.0,
         orientation_weight=1.0 if orientation else 0.0,
+        collision_shape=collision_shape,
     )
 
     def build(pso_cfg):
@@ -169,6 +172,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                 sv, spec, steps=polish, use_orientation=orientation,
                 obstacles=obstacles,
                 collision_backend=fit.collision_backend,
+                collision_shape=fit.collision_shape,
                 gizmo_size=fit.gizmo_size,
             )
         return sv
@@ -319,6 +323,13 @@ def main() -> int:
         "is collision-free",
     )
     parser.add_argument(
+        "--collision-shape", choices=("box", "capsule"), default="box",
+        help="chain collider shape vs the obstacle scene: 'box' "
+        "(reference parity: gizmo cube + link box, SAT) or 'capsule' "
+        "(node spheres + link capsules, exact closed form — cheaper "
+        "in-kernel)",
+    )
+    parser.add_argument(
         "--profile",
         default=None,
         metavar="LOGDIR",
@@ -447,6 +458,7 @@ def main() -> int:
             rekick_threshold=args.rekick_threshold,
             obstacles=obstacles,
             polish=polish,
+            collision_shape=args.collision_shape,
         )
     value = stats["solves_per_s"]
     metric = (
@@ -477,6 +489,8 @@ def main() -> int:
     }
     if "frac_targets_feasible" in stats:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
+    if args.obstacles:
+        record["collision_shape"] = args.collision_shape
     if retries:
         record["retries"] = retries
     if polish:

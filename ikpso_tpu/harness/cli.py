@@ -309,6 +309,7 @@ def cmd_solve(args) -> int:
             ),
             obstacles=cfg.obstacles,
             collision_backend=cfg.fitness.collision_backend,
+            collision_shape=cfg.fitness.collision_shape,
             gizmo_size=cfg.fitness.gizmo_size,
         )
     batched = jax.tree.map(lambda x: x[None], cfg.problem)
@@ -381,31 +382,60 @@ def cmd_sweep(args) -> int:
 
     from ikpso_tpu.harness.trajectory import solve_waypoints
 
+    multihost = getattr(args, "multihost", False)
+    if multihost:
+        # Must run before the backend initializes (and before _load
+        # touches jax arrays) — including the platform choice, which
+        # is ordinarily applied inside _load.
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        from ikpso_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     cfg = _load(args)
     # solve_waypoints pads the tail chunk to the static batch size, so
     # dividing the batch is sufficient.
     _clamp_packing(args, args.batch)
     rng = np.random.default_rng(args.seed)
-    # Sample reachable waypoints around the configured targets.
+    # Sample reachable waypoints around the configured targets. Every
+    # process draws the identical global set (same seed); the multihost
+    # path slices it per process.
     base = np.asarray(cfg.problem.targets)
     waypoints = base[None] + rng.normal(scale=args.jitter, size=(args.waypoints,) + base.shape).astype(np.float32)
-    result = solve_waypoints(
-        cfg.spec,
-        cfg.problem,
-        waypoints,
-        jax.random.key(args.seed),
+    kw = dict(
         pso=cfg.pso,
         fit=cfg.fitness,
         obstacles=cfg.obstacles,
         num_particles=cfg.num_particles,
-        batch_size=args.batch,
-        checkpoint_path=args.checkpoint,
         impl=_pick_impl(args, cfg),
         retries=args.retries,
         retry_init_mode=args.retry_init_mode,
         polish=args.polish,
         swarms_per_tile=args.swarms_per_tile,
     )
+    extra = {}
+    if multihost:
+        from ikpso_tpu.parallel.distributed import sweep_waypoints_multihost
+
+        result, sl = sweep_waypoints_multihost(
+            cfg.spec, cfg.problem, waypoints, jax.random.key(args.seed),
+            batch_size=args.batch, **kw,
+        )
+        extra = dict(
+            process=jax.process_index(),
+            num_processes=jax.process_count(),
+            local_slice=[int(sl.start), int(sl.stop)],
+        )
+    else:
+        result = solve_waypoints(
+            cfg.spec, cfg.problem, waypoints, jax.random.key(args.seed),
+            batch_size=args.batch, checkpoint_path=args.checkpoint, **kw,
+        )
     print(
         json.dumps(
             dict(
@@ -414,6 +444,7 @@ def cmd_sweep(args) -> int:
                 err_p50=float(np.percentile(result.errors, 50)),
                 err_p95=float(np.percentile(result.errors, 95)),
                 solves_per_second=result.solves_per_second,
+                **extra,
             )
         )
     )
@@ -535,6 +566,19 @@ def main(argv=None) -> int:
         "--init-mode); uniform/hybrid de-correlates wrong-basin "
         "retries from the failed warm basin",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="shard the sweep across jax.distributed processes: each "
+        "host solves its contiguous waypoint block on its local "
+        "devices, results merge over DCN (BASELINE config 5)",
+    )
+    p.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="jax.distributed coordinator address (auto-detected on "
+        "Cloud TPU pods)",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser(

@@ -204,6 +204,7 @@ def frames_to_converge(
             / max(1, spec.dof // 3),
             obstacles=obstacles,
             collision_backend=fit.collision_backend,
+            collision_shape=fit.collision_shape,
             gizmo_size=fit.gizmo_size,
         )
 

@@ -133,6 +133,7 @@ def track_trajectories(
             / max(1, spec.dof // 3),
             obstacles=obstacles,
             collision_backend=fit.collision_backend,
+            collision_shape=fit.collision_shape,
             gizmo_size=fit.gizmo_size,
         )
 
@@ -279,6 +280,7 @@ def solve_waypoints(
             sv = wrap_with_polish(
                 sv, spec, steps=polish, obstacles=obstacles,
                 collision_backend=fit.collision_backend,
+                collision_shape=fit.collision_shape,
                 gizmo_size=fit.gizmo_size,
             )
         return sv

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from ikpso_tpu.models.chain import ChainSpec, IKProblem, Obstacles
 from ikpso_tpu.ops import fk as fk_ops
-from ikpso_tpu.ops.collision import chain_collides
 from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
 
 # The reference returns FLT_MAX for colliding poses (kernel.cu:129,134).
@@ -61,10 +60,19 @@ class FitnessConfig:
     orientation_weight: float = 0.0
     error_threshold: float = 0.1
     gizmo_size: float = dataclasses.field(default=0.2, metadata=dict(static=True))
-    # "sat" (closed-form, exact for boxes — the TPU-native default) or
-    # "gjk" (the reference's iterative algorithm, masked fixed-iteration
+    # "sat" (closed-form, exact — the TPU-native default) or "gjk"
+    # (the reference's iterative algorithm, masked fixed-iteration
     # form; ikpso_tpu.ops.gjk). Both reject with COLLISION_PENALTY.
+    # NOTE: the Pallas kernels (pso.fused / ops.pallas_fitness) fuse
+    # only the closed-form backend and raise on "gjk" — a 50-round
+    # support-point loop per (node x link x obstacle) pair is
+    # anti-TPU-native; the jnp path runs either.
     collision_backend: str = dataclasses.field(default="sat", metadata=dict(static=True))
+    # "box" — the reference's cube-gizmo + link-box construction
+    # (kernel.cu:104-136). "capsule" — node spheres + link capsules
+    # (rounded, rotation-free, exact closed form; cheaper on TPU and
+    # the more physical link model). See ops.collision.get_chain_collider.
+    collision_shape: str = dataclasses.field(default="box", metadata=dict(static=True))
 
 
 def fitness(
@@ -158,15 +166,11 @@ def fitness(
     )
 
     if obstacles is not None and obstacles.count > 0:
-        if config.collision_backend == "gjk":
-            from ikpso_tpu.ops.gjk import chain_collides_gjk as _collides
-        elif config.collision_backend == "sat":
-            _collides = chain_collides
-        else:
-            raise ValueError(
-                f"unknown collision_backend {config.collision_backend!r}; "
-                "expected 'sat' or 'gjk'"
-            )
+        from ikpso_tpu.ops.collision import get_chain_collider
+
+        _collides = get_chain_collider(
+            config.collision_backend, config.collision_shape
+        )
         parent_pos = positions[..., list(spec.parent[1:]), :]
         hit = _collides(
             positions[..., 1:, :],

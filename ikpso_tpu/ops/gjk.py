@@ -358,6 +358,51 @@ def chain_collides_gjk(
     return jnp.any(node_hit | link_hit, axis=(-2, -1))
 
 
+def chain_collides_capsule_gjk(
+    positions: jnp.ndarray,
+    rotations: jnp.ndarray,
+    parent_positions: jnp.ndarray,
+    lengths: jnp.ndarray,
+    obstacle_center: jnp.ndarray,
+    obstacle_half: jnp.ndarray,
+    obstacle_rot: jnp.ndarray,
+    gizmo_size: float = 0.2,
+    *,
+    iterations: int = GJK_ITERATIONS,
+) -> jnp.ndarray:
+    """GJK twin of :func:`ikpso_tpu.ops.collision.chain_collides_capsule`.
+
+    Same rounded colliders — node spheres (radius ``gizmo_size/2``)
+    and parent->node link capsules (radius ``gizmo_size/8``) — tested
+    against every scene box through the generic-support GJK
+    (:func:`sphere_support` / :func:`capsule_support`), the shape
+    generality the reference's box-only ``supportBox`` cannot express.
+    ``rotations``/``lengths`` are accepted for signature parity and
+    ignored (rounded colliders are rotation-free).
+    """
+    del rotations, lengths
+    if obstacle_center.shape[0] == 0:
+        return jnp.zeros(positions.shape[:-2], dtype=bool)
+
+    p = positions[..., :, None, :]
+    pp = parent_positions[..., :, None, :]
+    obox = box_support(obstacle_center, obstacle_half, obstacle_rot)
+    node_hit = gjk_intersect(
+        sphere_support(p, gizmo_size * 0.5),
+        obox,
+        obstacle_center - p,
+        iterations=iterations,
+    )
+    mid = (p + pp) * 0.5
+    link_hit = gjk_intersect(
+        capsule_support(pp, p, gizmo_size * 0.125),
+        obox,
+        obstacle_center - mid,
+        iterations=iterations,
+    )
+    return jnp.any(node_hit | link_hit, axis=(-2, -1))
+
+
 def gjk_box_box(
     center_a: jnp.ndarray,
     half_a: jnp.ndarray,

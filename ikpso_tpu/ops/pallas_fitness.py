@@ -123,6 +123,68 @@ def _sat_obb(px, py, pz, rot, half, oc, oh, orot):
     return ~sep
 
 
+def _point_obb_dist2(px, py, pz, oc, oh, orot):
+    """Exact squared point->OBB distance on tiles (sphere-vs-box core).
+
+    Mirrors ops.collision.point_obb_dist2: clamp the point, in the box
+    frame, to the box. ``oc``/``oh`` scalar 3-tuples, ``orot`` scalar
+    3x3 (rows r, cols c); q_i = column i of R dotted with (p - c).
+    """
+    dx, dy, dz = px - oc[0], py - oc[1], pz - oc[2]
+    d2 = None
+    for i in range(3):
+        qi = orot[0][i] * dx + orot[1][i] * dy + orot[2][i] * dz
+        di = jnp.maximum(jnp.abs(qi) - oh[i], 0.0)
+        d2 = di * di if d2 is None else d2 + di * di
+    return d2
+
+
+def _seg_obb_dist2(p0, p1, oc, oh, orot, iterations=24):
+    """Exact squared segment->OBB distance on tiles (capsule-vs-box core).
+
+    Mirrors ops.collision.segment_obb_dist2: branch-free bisection on
+    the convex distance's monotone derivative, statically unrolled —
+    every lane runs the same straight-line VPU code.
+    """
+    q0 = []
+    q1 = []
+    for i in range(3):
+        q0.append(
+            orot[0][i] * (p0[0] - oc[0])
+            + orot[1][i] * (p0[1] - oc[1])
+            + orot[2][i] * (p0[2] - oc[2])
+        )
+        q1.append(
+            orot[0][i] * (p1[0] - oc[0])
+            + orot[1][i] * (p1[1] - oc[1])
+            + orot[2][i] * (p1[2] - oc[2])
+        )
+    b = [q1[i] - q0[i] for i in range(3)]
+
+    def g(t):
+        acc = None
+        for i in range(3):
+            qi = q0[i] + t * b[i]
+            si = jnp.sign(qi) * jnp.maximum(jnp.abs(qi) - oh[i], 0.0)
+            acc = si * b[i] if acc is None else acc + si * b[i]
+        return acc
+
+    lo = jnp.zeros_like(p0[0])
+    hi = jnp.ones_like(p0[0])
+    for _ in range(iterations):
+        tm = 0.5 * (lo + hi)
+        pred = g(tm) > 0
+        hi = jnp.where(pred, tm, hi)
+        lo = jnp.where(pred, lo, tm)
+    t = 0.5 * (lo + hi)
+    d2 = None
+    for i in range(3):
+        qi = q0[i] + t * b[i]
+        di = jnp.maximum(jnp.abs(qi) - oh[i], 0.0)
+        d2 = di * di if d2 is None else d2 + di * di
+    return d2
+
+
 class MetaLayout:
     """Offsets into the packed per-chain (meta) and per-swarm vectors.
 
@@ -164,6 +226,7 @@ def fk_fitness_tile(
     use_distance_term: bool,
     gizmo_size: float,
     use_orientation: bool = False,
+    collision_shape: str = "box",
 ):
     """FK rollout + cost for one particle tile (shared kernel body).
 
@@ -237,22 +300,35 @@ def fk_fitness_tile(
             pos_diff += ox * ox + oy * oy + oz * oz
 
         if num_obstacles:
-            # Node gizmo cube + link box vs every obstacle
-            # (reference kernel.cu:104-136).
-            mid = (
-                (pk[0] + pp[0]) * 0.5,
-                (pk[1] + pp[1]) * 0.5,
-                (pk[2] + pp[2]) * 0.5,
-            )
-            link_half = (
-                # length is a traced scalar; fine inside the tuple
-                length * 0.5,
-                gizmo_size * 0.25 * 0.5,
-                gizmo_size * 0.25 * 0.5,
-            )
-            for oc, oh, orot in obstacles:
-                hit |= _sat_obb(pk[0], pk[1], pk[2], rk, node_half, oc, oh, orot)
-                hit |= _sat_obb(mid[0], mid[1], mid[2], rk, link_half, oc, oh, orot)
+            if collision_shape == "capsule":
+                # Node sphere + parent->node link capsule vs every
+                # obstacle: exact closed-form point/segment OBB
+                # distances (ops.collision capsule shape).
+                node_r2 = np.float32((gizmo_size * 0.5) ** 2)
+                link_r2 = np.float32((gizmo_size * 0.125) ** 2)
+                for oc, oh, orot in obstacles:
+                    hit |= (
+                        _point_obb_dist2(pk[0], pk[1], pk[2], oc, oh, orot)
+                        <= node_r2
+                    )
+                    hit |= _seg_obb_dist2(pp, pk, oc, oh, orot) <= link_r2
+            else:
+                # Node gizmo cube + link box vs every obstacle
+                # (reference kernel.cu:104-136).
+                mid = (
+                    (pk[0] + pp[0]) * 0.5,
+                    (pk[1] + pp[1]) * 0.5,
+                    (pk[2] + pp[2]) * 0.5,
+                )
+                link_half = (
+                    # length is a traced scalar; fine inside the tuple
+                    length * 0.5,
+                    gizmo_size * 0.25 * 0.5,
+                    gizmo_size * 0.25 * 0.5,
+                )
+                for oc, oh, orot in obstacles:
+                    hit |= _sat_obb(pk[0], pk[1], pk[2], rk, node_half, oc, oh, orot)
+                    hit |= _sat_obb(mid[0], mid[1], mid[2], rk, link_half, oc, oh, orot)
 
         if k in eff_set:
             e = eff_set[k]
@@ -285,7 +361,8 @@ def fk_fitness_tile(
 
 
 def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
-                  gizmo_size: float, use_orientation: bool = False):
+                  gizmo_size: float, use_orientation: bool = False,
+                  collision_shape: str = "box"):
     """Trace-time specialization of the kernel body for one topology."""
 
     def kernel(meta_ref, swarm_ref, x_ref, out_ref):
@@ -299,6 +376,7 @@ def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
             use_distance_term=use_distance_term,
             gizmo_size=gizmo_size,
             use_orientation=use_orientation,
+            collision_shape=collision_shape,
         )
 
     return kernel
@@ -361,6 +439,7 @@ def fused_fitness(
     use_distance_term: bool = False,
     gizmo_size: float = 0.2,
     use_orientation: bool = False,
+    collision_shape: str = "box",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the kernel. ``x_dp``: (S, D, P) angles; returns (S, P)."""
@@ -370,7 +449,7 @@ def fused_fitness(
     tiles = p // TILE_P
     x4 = x_dp.reshape(s, d, p // LANES, LANES)
     kernel = _build_kernel(spec, num_obstacles, use_distance_term, gizmo_size,
-                           use_orientation)
+                           use_orientation, collision_shape)
 
     m = meta.shape[-1]
     k = swarm.shape[-1]
@@ -421,6 +500,16 @@ def make_pallas_fitness(
     once at closure build (hoisted out of the PSO loop, like the jnp
     path).
     """
+    num_obstacles = 0 if obstacles is None else obstacles.count
+    if num_obstacles and fit.collision_backend == "gjk":
+        raise NotImplementedError(
+            "collision_backend='gjk' is jnp-path only: a 50-round "
+            "support-point loop per (node x link x obstacle) pair is "
+            "anti-TPU-native, so the Pallas kernels fuse only the "
+            "closed-form backend ('sat'; exact for both collision "
+            "shapes). Use impl='jnp' for GJK, or collision_backend="
+            "'sat' here."
+        )
     anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
     anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
     # Both optional terms are compile-time choices, like everything
@@ -433,7 +522,6 @@ def make_pallas_fitness(
     meta = _pack_meta(spec, fit, obstacles, use_orientation)
     swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions,
                         use_orientation)
-    num_obstacles = 0 if obstacles is None else obstacles.count
 
     def fitness_fn(x: jnp.ndarray) -> jnp.ndarray:
         x_dp = jnp.swapaxes(x, -1, -2)  # (S, D, P)
@@ -446,6 +534,7 @@ def make_pallas_fitness(
             use_distance_term=use_distance,
             gizmo_size=fit.gizmo_size,
             use_orientation=use_orientation,
+            collision_shape=fit.collision_shape,
             interpret=interpret,
         )
 

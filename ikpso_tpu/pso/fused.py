@@ -175,6 +175,7 @@ def _build_solver_kernel(
                 use_distance_term=use_distance,
                 gizmo_size=fit.gizmo_size,
                 use_orientation=use_orientation,
+                collision_shape=fit.collision_shape,
             )
 
         # Joint-limit clamp bounds, (D*R, LANES) broadcast rows.
@@ -558,6 +559,15 @@ def make_fused_solver(
             f"(impl='jnp') for deeper chains"
         )
     num_obstacles = 0 if obstacles is None else obstacles.count
+    if num_obstacles and fit.collision_backend == "gjk":
+        raise NotImplementedError(
+            "collision_backend='gjk' is jnp-path only: a 50-round "
+            "support-point loop per (node x link x obstacle) pair is "
+            "anti-TPU-native, so the fused megakernel fuses only the "
+            "closed-form backend ('sat'; exact for both collision "
+            "shapes). Use impl='jnp' for GJK, or collision_backend="
+            "'sat' here."
+        )
     use_orientation_w = float(np.asarray(fit.orientation_weight)) != 0.0
     limits = jnp.stack(
         [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]

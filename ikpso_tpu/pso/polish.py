@@ -371,6 +371,7 @@ def wrap_with_polish(
     locality_weight: float = 0.0,
     obstacles=None,
     collision_backend: str = "sat",
+    collision_shape: str = "box",
     gizmo_size: float = 0.2,
 ):
     """Wrap a ``(problem, key) -> SolveResult`` solver with LM polish.
@@ -392,14 +393,9 @@ def wrap_with_polish(
     never move a feasible PSO answer into an obstacle.
     """
     if obstacles is not None:
-        if collision_backend == "gjk":
-            from ikpso_tpu.ops.gjk import chain_collides_gjk as _collides
-        elif collision_backend == "sat":
-            from ikpso_tpu.ops.collision import chain_collides as _collides
-        else:
-            raise ValueError(
-                f"unknown collision_backend {collision_backend!r}"
-            )
+        from ikpso_tpu.ops.collision import get_chain_collider
+
+        _collides = get_chain_collider(collision_backend, collision_shape)
 
     @jax.jit
     def _solve(problem: IKProblem, key: jnp.ndarray):

@@ -165,6 +165,7 @@ def dump_config(cfg: RunConfig) -> str:
             "orientation_weight": float(cfg.fitness.orientation_weight),
             "error_threshold": float(cfg.fitness.error_threshold),
             "collision_backend": cfg.fitness.collision_backend,
+            "collision_shape": cfg.fitness.collision_shape,
         },
         "num_particles": cfg.num_particles,
     }

@@ -128,3 +128,143 @@ def test_empty_obstacles_never_hit():
     )
     assert hit.shape == (4,)
     assert not bool(hit.any())
+
+
+# --- Capsule shape: exact point/segment OBB distances -----------------
+
+
+def test_point_obb_dist2_axis_aligned():
+    from ikpso_tpu.ops.collision import point_obb_dist2
+
+    c = jnp.zeros(3)
+    h = jnp.asarray([1.0, 2.0, 3.0])
+    # Inside -> 0; face/edge/corner distances analytic.
+    assert float(point_obb_dist2(jnp.asarray([0.5, -1.0, 2.0]), c, h, EYE)) == 0.0
+    np.testing.assert_allclose(
+        float(point_obb_dist2(jnp.asarray([3.0, 0.0, 0.0]), c, h, EYE)), 4.0,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(point_obb_dist2(jnp.asarray([2.0, 3.0, 0.0]), c, h, EYE)),
+        1.0 + 1.0, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(point_obb_dist2(jnp.asarray([2.0, 3.0, 4.0]), c, h, EYE)),
+        3.0, rtol=1e-6,
+    )
+
+
+def test_point_obb_dist2_rotated():
+    from ikpso_tpu.ops.collision import point_obb_dist2
+
+    # Unit cube rotated 45 deg about Z: the point at (sqrt(2)+1, 0, 0)
+    # sits 1 unit off the rotated corner edge along X.
+    rot = euler_xyz_to_matrix(jnp.asarray([0.0, 0.0, np.pi / 4]))
+    p = jnp.asarray([np.sqrt(2.0) + 1.0, 0.0, 0.0])
+    d2 = float(point_obb_dist2(p, jnp.zeros(3), jnp.ones(3), rot))
+    np.testing.assert_allclose(d2, 1.0, rtol=1e-5)
+
+
+def test_segment_obb_dist2_analytic():
+    from ikpso_tpu.ops.collision import segment_obb_dist2
+
+    c = jnp.zeros(3)
+    h = jnp.ones(3)
+    # Segment crossing above the box at z=2: closest approach 1.
+    d2 = float(segment_obb_dist2(
+        jnp.asarray([-5.0, 0.0, 2.0]), jnp.asarray([5.0, 0.0, 2.0]), c, h, EYE
+    ))
+    np.testing.assert_allclose(d2, 1.0, rtol=1e-5)
+    # Segment that pierces the box: distance 0.
+    d2 = float(segment_obb_dist2(
+        jnp.asarray([-5.0, 0.0, 0.0]), jnp.asarray([5.0, 0.0, 0.0]), c, h, EYE
+    ))
+    assert d2 <= 1e-10
+    # Endpoint-limited case: both endpoints beyond the box on one side;
+    # the minimum is at the near endpoint (2,0,0) -> distance 1.
+    d2 = float(segment_obb_dist2(
+        jnp.asarray([2.0, 0.0, 0.0]), jnp.asarray([5.0, 0.0, 0.0]), c, h, EYE
+    ))
+    np.testing.assert_allclose(d2, 1.0, rtol=1e-5)
+    # Diagonal segment whose interior minimum is off both endpoints:
+    # from (-3, 2, 0) to (3, 2, 0) shifted -> min at x=0, dist 1 to y face.
+    d2 = float(segment_obb_dist2(
+        jnp.asarray([-3.0, 2.0, 0.0]), jnp.asarray([3.0, 2.0, 0.0]), c, h, EYE
+    ))
+    np.testing.assert_allclose(d2, 1.0, rtol=1e-5)
+
+
+def test_segment_obb_dist2_matches_sampled_minimum(rng):
+    # Exactness check: dense sampling of d^2(t) can only be >= the
+    # bisection answer, and the two agree to f32 precision.
+    from ikpso_tpu.ops.collision import point_obb_dist2, segment_obb_dist2
+
+    n = 64
+    p0 = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)
+    c = jnp.asarray(rng.uniform(-1, 1, (3,)), jnp.float32)
+    h = jnp.asarray(rng.uniform(0.3, 2.0, (3,)), jnp.float32)
+    rot = euler_xyz_to_matrix(jnp.asarray(rng.uniform(-np.pi, np.pi, (3,)), jnp.float32))
+    got = np.asarray(segment_obb_dist2(p0, p1, c, h, rot))
+    ts = jnp.linspace(0.0, 1.0, 4097)[:, None, None]
+    pts = p0[None] + ts * (p1 - p0)[None]
+    sampled = np.asarray(point_obb_dist2(pts, c, h, rot)).min(axis=0)
+    assert (got <= sampled + 1e-5).all()
+    np.testing.assert_allclose(got, sampled, atol=2e-4, rtol=1e-3)
+
+
+def test_chain_collides_capsule_matches_gjk(rng):
+    # The closed-form capsule collider vs the generic-support GJK twin
+    # on random chains and obstacles: booleans agree away from exact
+    # tangency.
+    from ikpso_tpu.ops.collision import (
+        chain_collides_capsule,
+        point_obb_dist2,
+        segment_obb_dist2,
+    )
+    from ikpso_tpu.ops.gjk import chain_collides_capsule_gjk
+
+    b, k, nobs = 256, 3, 2
+    gizmo = 0.2
+    pos = jnp.asarray(rng.uniform(-2, 2, (b, k, 3)), jnp.float32)
+    ppos = jnp.asarray(rng.uniform(-2, 2, (b, k, 3)), jnp.float32)
+    rot = jnp.broadcast_to(EYE, (b, k, 3, 3))
+    lengths = jnp.ones((k,), jnp.float32)
+    oc = jnp.asarray(rng.uniform(-1.5, 1.5, (nobs, 3)), jnp.float32)
+    oh = jnp.asarray(rng.uniform(0.2, 1.0, (nobs, 3)), jnp.float32)
+    orot = euler_xyz_to_matrix(
+        jnp.asarray(rng.uniform(-np.pi, np.pi, (nobs, 3)), jnp.float32)
+    )
+    args = (pos, rot, ppos, lengths, oc, oh, orot)
+    exact = np.asarray(chain_collides_capsule(*args, gizmo_size=gizmo))
+    gjk = np.asarray(chain_collides_capsule_gjk(*args, gizmo_size=gizmo))
+
+    # Margin filter: drop poses within 1e-3 of tangency for any collider.
+    nd2 = np.asarray(point_obb_dist2(pos[:, :, None], oc, oh, orot))
+    ld2 = np.asarray(segment_obb_dist2(ppos[:, :, None], pos[:, :, None], oc, oh, orot))
+    m1 = np.abs(np.sqrt(nd2) - gizmo * 0.5).min(axis=(1, 2))
+    m2 = np.abs(np.sqrt(ld2) - gizmo * 0.125).min(axis=(1, 2))
+    clear = (np.minimum(m1, m2) > 1e-3)
+    assert clear.sum() > 200
+    assert exact[clear].any() and not exact[clear].all()
+    np.testing.assert_array_equal(exact[clear], gjk[clear])
+
+
+def test_get_chain_collider_dispatch():
+    import pytest
+
+    from ikpso_tpu.ops.collision import (
+        chain_collides,
+        chain_collides_capsule,
+        get_chain_collider,
+    )
+    from ikpso_tpu.ops.gjk import chain_collides_capsule_gjk, chain_collides_gjk
+
+    assert get_chain_collider("sat", "box") is chain_collides
+    assert get_chain_collider("sat", "capsule") is chain_collides_capsule
+    assert get_chain_collider("gjk", "box") is chain_collides_gjk
+    assert get_chain_collider("gjk", "capsule") is chain_collides_capsule_gjk
+    with pytest.raises(ValueError, match="collision_backend"):
+        get_chain_collider("aabb", "box")
+    with pytest.raises(ValueError, match="collision_shape"):
+        get_chain_collider("sat", "mesh")
