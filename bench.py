@@ -224,6 +224,180 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     return out
 
 
+def run_selftest() -> dict:
+    """On-TPU self-test: the paths the CPU suite must stub or skip.
+
+    The CPU test suite runs the Pallas kernels under the interpreter,
+    whose PRNG is stubbed to zeros — so RNG-dependent behavior
+    (convergence, uniform init) and the real-hardware seams (fused
+    megakernel under a mesh, GJK's fori_loop on TPU) are validated
+    here, in the same process as the nightly bench (VERDICT r1 #9).
+    Returns a dict of case -> {ok, metric...}.
+    """
+    from ikpso_tpu.models import library
+    from ikpso_tpu.models.chain import Obstacles
+    from ikpso_tpu.ops import fk as fk_ops
+    from ikpso_tpu.ops.fitness import FitnessConfig, fitness
+    from ikpso_tpu.pso.config import PSOConfig
+    from ikpso_tpu.pso.fused import make_fused_solver
+    from ikpso_tpu.pso.solver import make_solver
+
+    results = {}
+
+    def case(name):
+        def deco(fn):
+            try:
+                results[name] = {"ok": True, **(fn() or {})}
+            except Exception as e:  # noqa: BLE001 - report, don't abort
+                results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            return fn
+
+        return deco
+
+    spec, problem = library.arm_7dof()
+
+    def _batched(s):
+        return library.batched_problem(
+            problem,
+            jnp.broadcast_to(problem.targets, (s,) + problem.targets.shape),
+        )
+
+    @case("fused_convergence")
+    def _fused_convergence():
+        # The CPU-skipped test_fused_converges_on_tpu, verbatim.
+        solver = make_fused_solver(
+            spec, pso=PSOConfig(iterations=30),
+            fit=FitnessConfig(angle_weight=0.0), num_particles=1024,
+        )
+        res = solver(_batched(8), jax.random.key(0))
+        med = float(np.median(np.asarray(res.effector_error)))
+        assert med < 0.1, med
+        return {"median_err": med}
+
+    @case("fused_uniform_init")
+    def _fused_uniform_init():
+        # init_mode='uniform' draws positions from the core PRNG — a
+        # path that is all-zeros under the interpreter.
+        solver = make_fused_solver(
+            spec,
+            pso=PSOConfig(iterations=30, init_mode="uniform"),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=1024,
+        )
+        res = solver(_batched(8), jax.random.key(1))
+        med = float(np.median(np.asarray(res.effector_error)))
+        assert med < 0.1, med
+        # Uniform init must actually spread: solutions differ across
+        # swarms even with identical targets.
+        a = np.asarray(res.angles)
+        assert np.std(a, axis=0).max() > 1e-3
+        return {"median_err": med}
+
+    @case("fused_on_mesh_realtpu")
+    def _fused_on_mesh():
+        # The non-interpret seam: megakernel inside shard_map on real
+        # hardware, bit-equal to the unsharded solve (VERDICT r1 #1).
+        from ikpso_tpu.parallel.mesh import make_mesh
+        from ikpso_tpu.parallel.sharded import solve_sharded
+
+        mesh = make_mesh((1,), ("swarm",), devices=jax.devices()[:1])
+        kw = dict(
+            pso=PSOConfig(iterations=8), fit=FitnessConfig(angle_weight=0.0),
+            num_particles=1024,
+        )
+        key = jax.random.key(2)
+        res_mesh = solve_sharded(
+            spec, _batched(8), key, mesh, impl="fused", **kw
+        )
+        res_local = make_fused_solver(spec, **kw)(
+            _batched(8), jax.random.fold_in(key, 0)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_mesh.angles), np.asarray(res_local.angles)
+        )
+        return {"max_err": float(np.asarray(res_mesh.effector_error).max())}
+
+    @case("gjk_backend_tpu")
+    def _gjk_tpu():
+        # GJK (fixed-iteration fori_loop) compiled for TPU agrees with
+        # SAT on random poses; disagreement only at tangency.
+        s = 4
+        batched = _batched(s)
+        obstacles = Obstacles.from_boxes(
+            [(1.2, 0.6, -0.4), (-0.8, -0.9, 0.3)],
+            [(0.8, 0.8, 0.8), (0.7, 0.7, 0.7)],
+        )
+        key = jax.random.key(3)
+        lo = spec.min_rotation[1:].reshape(-1)
+        hi = spec.max_rotation[1:].reshape(-1)
+        x = jax.random.uniform(
+            key, (s, 256, spec.dof), minval=lo, maxval=hi, dtype=jnp.float32
+        )
+        f_sat = jax.jit(
+            lambda x: fitness(
+                spec, x, batched,
+                config=FitnessConfig(collision_backend="sat"),
+                obstacles=obstacles,
+            )
+        )(x)
+        f_gjk = jax.jit(
+            lambda x: fitness(
+                spec, x, batched,
+                config=FitnessConfig(collision_backend="gjk"),
+                obstacles=obstacles,
+            )
+        )(x)
+        hit_sat = np.asarray(f_sat) >= 1e30
+        hit_gjk = np.asarray(f_gjk) >= 1e30
+        agree = float((hit_sat == hit_gjk).mean())
+        assert hit_sat.any() and (~hit_sat).any()
+        assert agree > 0.995, agree
+        return {"agreement": agree, "hit_frac": float(hit_sat.mean())}
+
+    @case("capsule_kernel_tpu")
+    def _capsule_tpu():
+        # The in-kernel capsule distances on real hardware vs the jnp
+        # capsule collider (CPU suite covers interpret mode only).
+        from ikpso_tpu.ops.pallas_fitness import TILE_P, make_pallas_fitness
+
+        batched = _batched(1)
+        obstacles = Obstacles.from_boxes(
+            [(1.2, 0.6, -0.4)], [(0.9, 0.9, 0.9)]
+        )
+        cfg = FitnessConfig(angle_weight=0.0, collision_shape="capsule")
+        lo = spec.min_rotation[1:].reshape(-1)
+        hi = spec.max_rotation[1:].reshape(-1)
+        x = jax.random.uniform(
+            jax.random.key(4), (1, TILE_P, spec.dof),
+            minval=lo, maxval=hi, dtype=jnp.float32,
+        )
+        ref = np.asarray(fitness(spec, x, batched, config=cfg, obstacles=obstacles))
+        got = np.asarray(
+            make_pallas_fitness(spec, batched, fit=cfg, obstacles=obstacles)(x)
+        )
+        hr, hg = ref >= 1e30, got >= 1e30
+        agree = float((hr == hg).mean())
+        assert agree > 0.999, agree
+        np.testing.assert_allclose(got[~hr], ref[~hr], rtol=5e-4, atol=5e-4)
+        return {"agreement": agree, "hit_frac": float(hr.mean())}
+
+    @case("jnp_solver_convergence")
+    def _jnp_convergence():
+        solver = make_solver(
+            spec,
+            pso=PSOConfig(iterations=30, inertia_mode="canonical",
+                          inertia=0.5, inertia_end=0.2),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=256,
+        )
+        res = solver(_batched(8), jax.random.key(5))
+        med = float(np.median(np.asarray(res.effector_error)))
+        assert med < 0.1, med
+        return {"median_err": med}
+
+    return results
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     # Default: the model preset's batch. Bigger batches amortize the
@@ -347,6 +521,12 @@ def main() -> int:
         default=None,
         help="session tag stamped into --record lines",
     )
+    parser.add_argument(
+        "--selftest", action="store_true",
+        help="run the on-TPU self-test (RNG-dependent fused paths, "
+        "fused-under-mesh seam, GJK/capsule on real hardware) and "
+        "print one JSON line of per-case pass/fail",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -356,6 +536,21 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     platform = jax.devices()[0].platform
+    if args.selftest:
+        results = run_selftest()
+        record = {
+            "metric": "selftest",
+            "platform": platform,
+            "passed": sum(1 for r in results.values() if r["ok"]),
+            "failed": sum(1 for r in results.values() if not r["ok"]),
+            "cases": results,
+        }
+        print(json.dumps(record))
+        if args.record:
+            logged = {"session": args.session, **record} if args.session else record
+            with open(args.record, "a") as fh:
+                fh.write(json.dumps(logged) + "\n")
+        return 0 if record["failed"] == 0 else 1
     impl = args.impl
     if impl == "auto":
         impl = "fused" if platform == "tpu" else "jnp"
