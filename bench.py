@@ -65,7 +65,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
                           rekick_threshold=-1.0, obstacles=None, polish=0,
-                          collision_shape="box"):
+                          collision_shape="box", fk_impl="unrolled"):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -137,6 +137,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         angle_weight=0.0, distance_weight=0.0,
         orientation_weight=1.0 if orientation else 0.0,
         collision_shape=collision_shape,
+        fk_impl=fk_impl,
     )
 
     def build(pso_cfg):
@@ -497,6 +498,12 @@ def main() -> int:
         "is collision-free",
     )
     parser.add_argument(
+        "--fk-impl", choices=("unrolled", "scan"), default="unrolled",
+        help="jnp-path FK strategy: unrolled tree walk or log-depth "
+        "associative scan (serial chains; the deep-chain option — "
+        "head-to-head numbers in docs/PERFORMANCE.md)",
+    )
+    parser.add_argument(
         "--collision-shape", choices=("box", "capsule"), default="box",
         help="chain collider shape vs the obstacle scene: 'box' "
         "(reference parity: gizmo cube + link box, SAT) or 'capsule' "
@@ -654,6 +661,7 @@ def main() -> int:
             obstacles=obstacles,
             polish=polish,
             collision_shape=args.collision_shape,
+            fk_impl=args.fk_impl,
         )
     value = stats["solves_per_s"]
     metric = (

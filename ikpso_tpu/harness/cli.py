@@ -377,6 +377,81 @@ def cmd_experiment(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Distribution-level convergence parity vs the reference's raw data.
+
+    Runs the reference's reset->target-jump protocol (Main.cpp:171-337)
+    for each of its three development iterations, then compares the
+    frames-to-converge DISTRIBUTION against the raw per-trial sheets
+    of Documentation/results.xlsx with a KS test + bootstrap CI
+    (VERDICT r1 #4 — replaces the round-1 "within SEM" claim).
+    """
+    import jax
+
+    from ikpso_tpu.harness.experiment import frames_to_converge
+    from ikpso_tpu.harness.parity import (
+        compare_distributions,
+        load_reference_frames,
+    )
+    from ikpso_tpu.models.library import (
+        reference_arm,
+        reference_reset_targets,
+    )
+    from ikpso_tpu.ops.fitness import FitnessConfig
+    from ikpso_tpu.pso.config import PSOConfig
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # The three published protocols (Documentation/Iteration_{1,2,3};
+    # identical PSO config, differing init + fitness):
+    protocols = {
+        "iter1": dict(init_mode="uniform", angle_weight=0.0),
+        "iter2": dict(init_mode="warm", angle_weight=0.0),
+        "iter3": dict(init_mode="warm", angle_weight=3.0),
+    }
+    ref = load_reference_frames()
+    spec, problem = reference_arm()
+    reset = reference_reset_targets()
+    wanted = args.protocols.split(",") if args.protocols else list(protocols)
+    out = {}
+    for name in wanted:
+        p = protocols[name]
+        res = frames_to_converge(
+            spec,
+            problem,
+            reset,
+            jax.random.key(args.seed),
+            pso=PSOConfig(iterations=15, inertia_mode="randomized",
+                          init_mode=p["init_mode"]),
+            fit=FitnessConfig(angle_weight=p["angle_weight"]),
+            num_particles=args.particles,
+            eps_dist=0.025,
+            max_frames=args.max_frames,
+            trials=args.trials,
+            trial_batch=args.trial_batch,
+            impl="jnp",
+        )
+        frames = np.asarray(res.frames, float)
+        converged = frames[frames >= 0]
+        if converged.size == 0:
+            rec = {"error": "no trials converged", "unconverged": int(frames.size)}
+            out[name] = rec
+            print(json.dumps({name: rec}), flush=True)
+            continue
+        rec = compare_distributions(ref[name], converged)
+        rec["unconverged"] = int((frames < 0).sum())
+        out[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+    print(json.dumps(dict(metric="parity", trials=args.trials, results=out)))
+    if args.out:
+        with open(args.out, "a") as fh:
+            fh.write(json.dumps(dict(trials=args.trials, results=out)) + "\n")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     import jax
 
@@ -547,6 +622,24 @@ def main(argv=None) -> int:
         help="per-frame convergence progress on stderr",
     )
     p.set_defaults(fn=cmd_experiment)
+
+    p = sub.add_parser(
+        "parity",
+        help="frames-to-converge distribution vs the reference's raw "
+        "results.xlsx (KS test + bootstrap CI per protocol)",
+    )
+    p.add_argument("--trials", type=int, default=512)
+    p.add_argument("--trial-batch", type=int, default=128)
+    p.add_argument("--particles", type=int, default=16384)
+    p.add_argument("--max-frames", type=int, default=400)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--protocols", default=None,
+        help="comma list of iter1,iter2,iter3 (default: all)",
+    )
+    p.add_argument("--out", default=None, help="append JSON record to FILE")
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("sweep", help="trajectory waypoint sweep")
     _add_common(p)

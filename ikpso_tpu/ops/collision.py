@@ -236,11 +236,13 @@ def chain_collides_capsule(
     sphere) and a capsule of radius ``gizmo_size/8`` (the link box's
     inscribed cross-section) sweeping the full parent->node segment.
     Rounded colliders are rotation-free — the test needs only node
-    positions, never the FK rotations — and are exact via the
-    point/segment OBB distances above, so this shape is strictly
-    cheaper than the box shape on TPU while being the more physical
-    model of a robot link. ``rotations``/``lengths`` are accepted for
-    signature parity with :func:`chain_collides` and ignored.
+    positions, never the FK rotations — and exact via the point/segment
+    OBB distances above. Counted cost (utils.flops): ~1.5x the box
+    SAT per (joint, obstacle) pair — the bisection buys exactness for
+    a non-polytope, not speed — so pick this shape for the physics
+    (a rounded link is the truer robot collider), not the throughput.
+    ``rotations``/``lengths`` are accepted for signature parity with
+    :func:`chain_collides` and ignored.
 
     Select with ``FitnessConfig(collision_shape="capsule")``.
     """

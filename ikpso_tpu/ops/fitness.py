@@ -70,9 +70,16 @@ class FitnessConfig:
     collision_backend: str = dataclasses.field(default="sat", metadata=dict(static=True))
     # "box" — the reference's cube-gizmo + link-box construction
     # (kernel.cu:104-136). "capsule" — node spheres + link capsules
-    # (rounded, rotation-free, exact closed form; cheaper on TPU and
-    # the more physical link model). See ops.collision.get_chain_collider.
+    # (rounded, rotation-free, exact closed form; the more physical
+    # link model). See ops.collision.get_chain_collider.
     collision_shape: str = dataclasses.field(default="box", metadata=dict(static=True))
+    # FK evaluation strategy for the jnp path: "unrolled" (the
+    # straight-line tree walk, works for any topology) or "scan"
+    # (log-depth lax.associative_scan over affine composition — serial
+    # chains only; the sequence-parallel analog for very deep chains,
+    # SURVEY.md §5 long-context row). Benchmarked head-to-head in
+    # docs/PERFORMANCE.md; the Pallas kernels always unroll.
+    fk_impl: str = dataclasses.field(default="unrolled", metadata=dict(static=True))
 
 
 def fitness(
@@ -131,7 +138,14 @@ def fitness(
             target_rot = target_rot[..., None, :, :]
 
     pose = fk_ops.angles_to_pose(spec, root_rot, angles)
-    positions, rotations = fk_ops.fk(spec, pose, origin)
+    if config.fk_impl == "scan":
+        positions, rotations = fk_ops.fk_serial_scan(spec, pose, origin)
+    elif config.fk_impl == "unrolled":
+        positions, rotations = fk_ops.fk(spec, pose, origin)
+    else:
+        raise ValueError(
+            f"unknown fk_impl {config.fk_impl!r}; expected 'unrolled' or 'scan'"
+        )
 
     # Angular locality: sum over joints of squared Euler deltas
     # (reference kernel.cu:78-84).

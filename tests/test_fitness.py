@@ -139,3 +139,57 @@ def test_fitness_jits():
     f = jax.jit(lambda a: fitness(spec, a, problem))
     angles = fk_ops.pose_to_angles(spec, problem.pose)
     assert np.isfinite(float(f(angles)))
+
+
+def test_fitness_fk_scan_matches_unrolled():
+    # FitnessConfig.fk_impl="scan" (log-depth associative-scan FK) must
+    # be numerically interchangeable with the unrolled walk on a deep
+    # serial chain — the deep-chain option wired into the solver path
+    # (VERDICT r1 #7).
+    import jax
+
+    from ikpso_tpu.models import library
+
+    spec, problem = library.snake(10)
+    batched = library.batched_problem(
+        problem, jnp.broadcast_to(problem.targets, (2,) + problem.targets.shape)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(-1.5, 1.5, (2, 64, spec.dof)),
+        jnp.float32,
+    )
+    f_unrolled = fitness(
+        spec, x, batched, config=FitnessConfig(angle_weight=1.0)
+    )
+    f_scan = fitness(
+        spec, x, batched, config=FitnessConfig(angle_weight=1.0, fk_impl="scan")
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_scan), np.asarray(f_unrolled), rtol=1e-5, atol=1e-5
+    )
+
+    # Solver end-to-end with the scan FK (jit + lax.scan compose).
+    from ikpso_tpu.pso.config import PSOConfig
+    from ikpso_tpu.pso.solver import solve
+
+    res = solve(
+        spec, batched, jax.random.key(0),
+        pso=PSOConfig(iterations=5),
+        fit=FitnessConfig(angle_weight=0.0, fk_impl="scan"),
+        num_particles=64,
+    )
+    assert np.isfinite(np.asarray(res.fitness)).all()
+
+
+def test_fitness_fk_scan_rejects_trees():
+    import pytest
+
+    from ikpso_tpu.models import library
+
+    spec, problem = library.reference_arm()  # 3 effector children = tree
+    batched = library.batched_problem(
+        problem, jnp.broadcast_to(problem.targets, (1,) + problem.targets.shape)
+    )
+    x = jnp.zeros((1, 8, spec.dof), jnp.float32)
+    with pytest.raises(ValueError, match="serial"):
+        fitness(spec, x, batched, config=FitnessConfig(fk_impl="scan"))
