@@ -65,13 +65,15 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           retries=0, orientation=False,
                           rekick_interval=0, rekick_scale=1.0,
                           rekick_threshold=-1.0, obstacles=None, polish=0,
-                          collision_shape="box", fk_impl="unrolled"):
+                          collision_shape="box", fk_impl="unrolled",
+                          kernel_sol=False, retry_iterations=None,
+                          retry_bucket=None):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
     from ikpso_tpu.pso.config import PSOConfig
     from ikpso_tpu.pso.solver import make_solver
-    from ikpso_tpu.utils.profiling import measure, solve_flops
+    from ikpso_tpu.utils.profiling import measure
 
     key_t, key_s = jax.random.split(jax.random.key(0))
     # Reachable targets: FK of random in-limit poses.
@@ -184,8 +186,10 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     # stops covering the ~2% pre-retry tail beyond S=49k (99.91% at
     # S=131072 with bucket 1024; out/bench_sweep17.jsonl).
     solver = wrap_with_topk_retries(
-        build, pso, rounds=retries, bucket=max(1024, s // 16),
+        build, pso, rounds=retries,
+        bucket=retry_bucket or max(1024, s // 16),
         retry_init_mode=retry_init_mode,
+        retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
     )
     # Distinct key per timed call: repeat dispatches of identical
@@ -197,15 +201,36 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     )
     err_mm = np.asarray(res.effector_error) * 1000.0
     scored = err_mm if feasible is None else err_mm[feasible]
-    flops = solve_flops(spec, num_particles, s, pso)
+    # Counted-op model of the base PSO stage (utils.flops traces the
+    # actual kernel tile code); retries/polish add uncounted work, so
+    # this is a floor on delivered ops.
+    from ikpso_tpu.utils.flops import fused_solve_count
+
+    count = fused_solve_count(
+        spec, pso, fit,
+        num_particles=num_particles, num_swarms=s,
+        swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
+        num_obstacles=0 if obstacles is None else obstacles.count,
+        use_orientation=orientation,
+    )
     out = dict(
         wall_s=wall,
         solves_per_s=s / wall,
         p50_err_mm=float(np.percentile(scored, 50)),
         p90_err_mm=float(np.percentile(scored, 90)),
         frac_under_1mm=float((scored < 1.0).mean()),
-        gflops=flops / wall / 1e9,
+        gflops=count.flops / wall / 1e9,
+        gtranscendentals=count.transcendentals / wall / 1e9,
     )
+    if impl == "fused" and kernel_sol:
+        out.update(
+            _kernel_sol_frac(
+                spec, batched, key_s, pso, fit,
+                num_particles=num_particles,
+                swarms_per_tile=swarms_per_tile,
+                obstacles=obstacles, orientation=orientation, s=s,
+            )
+        )
     if feasible is not None:
         out["frac_targets_feasible"] = float(feasible.mean())
     if orientation:
@@ -399,6 +424,62 @@ def run_selftest() -> dict:
     return results
 
 
+def _kernel_sol_frac(spec, batched, key, pso, fit, *, num_particles,
+                     swarms_per_tile, obstacles, orientation, s):
+    """Speed-of-light fraction of the bare FK+fitness+PSO kernel.
+
+    Times the fused solver (no polish, no retries) at I and 2I
+    iterations; the difference isolates exactly I iterations of the
+    PSO loop — init, dispatch, and result extraction cancel. The
+    counted ops of those iterations (utils.flops) divided by the
+    microbenchmarked per-class VPU peaks (utils.roofline) give the
+    speed-of-light time; sol_frac = t_sol / t_measured.
+    """
+    import dataclasses
+
+    from ikpso_tpu.pso.fused import make_fused_solver
+    from ikpso_tpu.utils.flops import (
+        fitness_tile_count,
+        gbest_broadcast_count,
+        pso_update_count,
+    )
+    from ikpso_tpu.utils.roofline import MEASURED_PEAKS, speed_of_light_seconds
+    from ikpso_tpu.utils.profiling import measure
+
+    walls = {}
+    for mult in (1, 2):
+        cfg = dataclasses.replace(pso, iterations=pso.iterations * mult)
+        solver = make_fused_solver(
+            spec, pso=cfg, fit=fit, obstacles=obstacles,
+            num_particles=num_particles, swarms_per_tile=swarms_per_tile,
+        )
+        _, walls[mult] = measure(
+            solver, batched, key, warmup=1, iters=3,
+            vary=lambda i, a: (a[0], jax.random.fold_in(a[1], 7000 + i)),
+        )
+    dt = max(walls[2] - walls[1], 1e-9)
+    rows = max(1, num_particles // 128)
+    per_iter = (
+        fitness_tile_count(
+            spec, fit,
+            num_obstacles=0 if obstacles is None else obstacles.count,
+            use_orientation=orientation, rows=rows * swarms_per_tile,
+        )
+        + pso_update_count(spec, pso)
+        + (1.0 / max(1, pso.gbest_interval))
+        * gbest_broadcast_count(spec.dof, rows, swarms_per_tile)
+    )
+    count = per_iter * (s * num_particles * pso.iterations)
+    t_sol = speed_of_light_seconds(count)
+    return dict(
+        kernel_wall_s=dt,
+        kernel_gflops=count.flops / dt / 1e9,
+        kernel_gtranscendentals=count.transcendentals / dt / 1e9,
+        sol_frac=t_sol / dt,
+        sol_peaks=dict(MEASURED_PEAKS),
+    )
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     # Default: the model preset's batch. Bigger batches amortize the
@@ -471,6 +552,17 @@ def main() -> int:
         "retries",
     )
     parser.add_argument(
+        "--retry-iterations", type=int, default=None, metavar="N",
+        help="PSO iterations for the retry rounds only (default: same "
+        "as --iterations); a deep retry budget costs little — only "
+        "the failed bucket pays — and closes wrong-basin tails",
+    )
+    parser.add_argument(
+        "--retry-bucket", type=int, default=None, metavar="N",
+        help="retry bucket size (worst-N swarms re-solved per round; "
+        "default max(1024, swarms/16))",
+    )
+    parser.add_argument(
         "--rekick-interval", type=int, default=None,
         help="velocity re-kick every N iterations (0 = off; default: "
         "measured per-model best); rescues prematurely-converged "
@@ -527,6 +619,11 @@ def main() -> int:
         "--session",
         default=None,
         help="session tag stamped into --record lines",
+    )
+    parser.add_argument(
+        "--no-sol", action="store_true",
+        help="skip the speed-of-light kernel measurement (two extra "
+        "compiles of the bare fused solver at I and 2I iterations)",
     )
     parser.add_argument(
         "--selftest", action="store_true",
@@ -662,6 +759,10 @@ def main() -> int:
             polish=polish,
             collision_shape=args.collision_shape,
             fk_impl=args.fk_impl,
+            kernel_sol=(impl == "fused" and platform == "tpu"
+                        and not args.no_sol),
+            retry_iterations=args.retry_iterations,
+            retry_bucket=args.retry_bucket,
         )
     value = stats["solves_per_s"]
     metric = (
@@ -689,13 +790,25 @@ def main() -> int:
         "obstacles": args.obstacles,
         "wall_ms_per_solve_batch": round(stats["wall_s"] * 1e3, 3),
         "gflops": round(stats["gflops"], 1),
+        "gtranscendentals": round(stats["gtranscendentals"], 1),
     }
+    if "sol_frac" in stats:
+        record["sol_frac"] = round(stats["sol_frac"], 4)
+        record["kernel_wall_ms"] = round(stats["kernel_wall_s"] * 1e3, 3)
+        record["kernel_gflops"] = round(stats["kernel_gflops"], 1)
+        record["kernel_gtranscendentals"] = round(
+            stats["kernel_gtranscendentals"], 1
+        )
     if "frac_targets_feasible" in stats:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
     if args.obstacles:
         record["collision_shape"] = args.collision_shape
     if retries:
         record["retries"] = retries
+        if args.retry_iterations:
+            record["retry_iterations"] = args.retry_iterations
+        if args.retry_bucket:
+            record["retry_bucket"] = args.retry_bucket
     if polish:
         record["polish_steps"] = polish
     if rekick_interval:

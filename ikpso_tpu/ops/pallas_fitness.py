@@ -50,11 +50,47 @@ SUBLANES = 8
 TILE_P = LANES * SUBLANES  # particles per grid step
 
 
-def _rot_xyz(ax, ay, az):
+# Polynomial sincos: the roofline microbenchmarks (utils/roofline.py)
+# measure a stock sin at ~63 op-equivalents on this v5e, making trig
+# ~65% of the FK kernel's speed-of-light time. The minimax-fit odd/even
+# polynomials below (range-reduced to [-pi, pi]) cost ~30 ops per
+# angle for BOTH sin and cos, with max error 3.1e-7 / 3.6e-8 over
+# [-4pi, 4pi] — below f32 round-off of the downstream composes, so
+# accuracy is unchanged (validated vs the jnp path in tests and the
+# float64 native oracle).
+_INV_2PI = np.float32(1.0 / (2.0 * np.pi))
+_2PI = np.float32(2.0 * np.pi)
+_SIN_C = tuple(np.float32(v) for v in (
+    9.9999970703e-01, -1.6666577215e-01, 8.3325581177e-03,
+    -1.9812575520e-04, 2.7040512127e-06, -2.0534244526e-08,
+))
+_COS_C = tuple(np.float32(v) for v in (
+    9.9999999228e-01, -4.9999991772e-01, 4.1666524360e-02,
+    -1.3887970390e-03, 2.4773423752e-05, -2.7113368761e-07,
+    1.7369116668e-09,
+))
+
+
+def _sincos(x, trig_impl: str = "poly"):
+    """(sin x, cos x) — polynomial by default, stock lowering optionally."""
+    if trig_impl == "exact":
+        return jnp.sin(x), jnp.cos(x)
+    r = x - jnp.round(x * _INV_2PI) * _2PI
+    r2 = r * r
+    s = _SIN_C[-1]
+    for coef in _SIN_C[-2::-1]:
+        s = s * r2 + coef
+    c = _COS_C[-1]
+    for coef in _COS_C[-2::-1]:
+        c = c * r2 + coef
+    return s * r, c
+
+
+def _rot_xyz(ax, ay, az, trig_impl: str = "poly"):
     """Rx@Ry@Rz on elementwise tiles -> 9 tile-shaped entries."""
-    cx, sx = jnp.cos(ax), jnp.sin(ax)
-    cy, sy = jnp.cos(ay), jnp.sin(ay)
-    cz, sz = jnp.cos(az), jnp.sin(az)
+    sx, cx = _sincos(ax, trig_impl)
+    sy, cy = _sincos(ay, trig_impl)
+    sz, cz = _sincos(az, trig_impl)
     return (
         cy * cz, -cy * sz, sy,
         cx * sz + sx * sy * cz, cx * cz - sx * sy * sz, -sx * cy,
@@ -227,6 +263,7 @@ def fk_fitness_tile(
     gizmo_size: float,
     use_orientation: bool = False,
     collision_shape: str = "box",
+    trig_impl: str = "poly",
 ):
     """FK rollout + cost for one particle tile (shared kernel body).
 
@@ -273,7 +310,7 @@ def fk_fitness_tile(
         ax = get_x(d0)
         ay = get_x(d0 + 1)
         az = get_x(d0 + 2)
-        local = _rot_xyz(ax, ay, az)
+        local = _rot_xyz(ax, ay, az, trig_impl)
         parent = spec.parent[k]
         pr = rots[parent]
         rk = _mat_mul(pr, local)
@@ -362,7 +399,7 @@ def fk_fitness_tile(
 
 def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
                   gizmo_size: float, use_orientation: bool = False,
-                  collision_shape: str = "box"):
+                  collision_shape: str = "box", trig_impl: str = "poly"):
     """Trace-time specialization of the kernel body for one topology."""
 
     def kernel(meta_ref, swarm_ref, x_ref, out_ref):
@@ -377,6 +414,7 @@ def _build_kernel(spec: ChainSpec, num_obstacles: int, use_distance_term: bool,
             gizmo_size=gizmo_size,
             use_orientation=use_orientation,
             collision_shape=collision_shape,
+            trig_impl=trig_impl,
         )
 
     return kernel
@@ -440,6 +478,7 @@ def fused_fitness(
     gizmo_size: float = 0.2,
     use_orientation: bool = False,
     collision_shape: str = "box",
+    trig_impl: str = "poly",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the kernel. ``x_dp``: (S, D, P) angles; returns (S, P)."""
@@ -449,7 +488,7 @@ def fused_fitness(
     tiles = p // TILE_P
     x4 = x_dp.reshape(s, d, p // LANES, LANES)
     kernel = _build_kernel(spec, num_obstacles, use_distance_term, gizmo_size,
-                           use_orientation, collision_shape)
+                           use_orientation, collision_shape, trig_impl)
 
     m = meta.shape[-1]
     k = swarm.shape[-1]
@@ -535,6 +574,7 @@ def make_pallas_fitness(
             gizmo_size=fit.gizmo_size,
             use_orientation=use_orientation,
             collision_shape=fit.collision_shape,
+            trig_impl=fit.trig_impl,
             interpret=interpret,
         )
 

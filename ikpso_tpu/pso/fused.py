@@ -176,6 +176,7 @@ def _build_solver_kernel(
                 gizmo_size=fit.gizmo_size,
                 use_orientation=use_orientation,
                 collision_shape=fit.collision_shape,
+                trig_impl=fit.trig_impl,
             )
 
         # Joint-limit clamp bounds, (D*R, LANES) broadcast rows.

@@ -129,6 +129,7 @@ def wrap_with_topk_retries(
     bucket: int,
     err_threshold: float = 1e-3,
     retry_init_mode: Optional[str] = None,
+    retry_iterations: Optional[int] = None,
     swarms_per_tile: int = 1,
 ) -> Solver:
     """Build a solver and wrap it in jitted top-k retries.
@@ -138,7 +139,10 @@ def wrap_with_topk_retries(
     base config's init, the retry rounds get their OWN solver with
     that init — a warm retry with fresh RNG tends to land back in the
     failed basin, while a uniform/hybrid retry re-explores globally
-    (docs/PERFORMANCE.md "Diverse-init retries").
+    (docs/PERFORMANCE.md "Diverse-init retries"). ``retry_iterations``
+    likewise deepens only the retry rounds' PSO budget: the failed
+    bucket is a small fraction of the batch, so a much deeper re-solve
+    costs little (the wrong-basin tail-closing tool).
 
     ``bucket`` is rounded up to a multiple of ``swarms_per_tile`` so
     the retry sub-batch satisfies the fused kernel's packing
@@ -148,10 +152,15 @@ def wrap_with_topk_retries(
     if not rounds:
         return solver
     retry_solver = None
+    retry_cfg = {}
     if retry_init_mode and retry_init_mode != pso.init_mode:
-        retry_solver = build(
-            dataclasses.replace(pso, init_mode=retry_init_mode)
-        )
+        retry_cfg["init_mode"] = retry_init_mode
+    if retry_iterations and retry_iterations != pso.iterations:
+        retry_cfg["iterations"] = retry_iterations
+        if pso.rekick_interval and retry_iterations % pso.rekick_interval:
+            retry_cfg["rekick_interval"] = 0
+    if retry_cfg:
+        retry_solver = build(dataclasses.replace(pso, **retry_cfg))
     sw = max(1, swarms_per_tile)
     bucket = max(sw, (bucket + sw - 1) // sw * sw)
     return make_topk_retry_solver(

@@ -166,6 +166,8 @@ def dump_config(cfg: RunConfig) -> str:
             "error_threshold": float(cfg.fitness.error_threshold),
             "collision_backend": cfg.fitness.collision_backend,
             "collision_shape": cfg.fitness.collision_shape,
+            "trig_impl": cfg.fitness.trig_impl,
+            "fk_impl": cfg.fitness.fk_impl,
         },
         "num_particles": cfg.num_particles,
     }

@@ -87,17 +87,32 @@ def measure(fn, *args, warmup: int = 1, iters: int = 5, vary=None):
     """
     import statistics
 
+    import numpy as np
+
+    def _sync(res):
+        # block_until_ready alone is NOT sufficient over the tunnel
+        # transport: for some programs it returns at enqueue time
+        # (observed: flat ~0.1 ms "walls" for 100 ms kernels in
+        # utils/roofline development). A host fetch of one element
+        # provably waits for execution. Cross-checked on the headline
+        # solver: fetch-timed and block-timed walls agree to ~1%.
+        res = jax.block_until_ready(res)
+        leaf = jax.tree.leaves(res)[0]
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[0:1])
+        return res
+
     result = None
     for i in range(max(warmup, 1)):
         # Warmup indices sit above the timed range (vary hooks may
         # feed the index to jax.random.fold_in, which rejects
         # negative values).
         a = vary(max(iters, 1) + i, args) if vary else args
-        result = jax.block_until_ready(fn(*a))
+        result = _sync(fn(*a))
     samples = []
     for i in range(max(iters, 1)):
         a = vary(i, args) if vary else args
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*a))
+        result = _sync(fn(*a))
         samples.append(time.perf_counter() - t0)
     return result, statistics.median(samples)

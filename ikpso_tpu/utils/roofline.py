@@ -40,23 +40,37 @@ from ikpso_tpu.utils.profiling import measure
 # 2026-08-19, via `python -m ikpso_tpu.utils.roofline`. Re-measure on
 # new hardware. Units: ops/second (FMA counts as 2 flops).
 MEASURED_PEAKS: Dict[str, float] = {
-    # f32 elementwise FMA ceiling (flops/s).
-    "fma_flops_per_s": 3.949e12,
-    # sin() evaluations/s.
-    "transcendental_per_s": 2.383e11,
-    # prng_random_bits 32-bit draws/s.
-    "rng_elems_per_s": 1.336e12,
-    "platform": "tpu v5e (axon)",
+    # f32 elementwise ceiling (counted-op convention, see
+    # measure_fma_peak): 3.10e12 ~ 1024 VPU lanes x ~4 ALUs x ~0.9 GHz.
+    "fma_flops_per_s": 3.104e12,
+    # sin() evaluations/s — each stock sin costs ~63 op-equivalents,
+    # which makes trig ~65% of the FK+fitness kernel's speed-of-light
+    # time (the motivation for the polynomial sincos in
+    # ops.pallas_fitness).
+    "transcendental_per_s": 4.912e10,
+    # prng_random_bits 32-bit draws/s (~6.5 op-equivalents per draw).
+    "rng_elems_per_s": 4.807e11,
 }
 
 _ROWS, _LANES = 512, 128
 
 
-def _run_tile_kernel(body, n_steps: int, grid: int, *, iters: int = 5):
-    """Time a grid of VMEM-resident tile kernels; returns seconds."""
+def _time_tile_kernel(body, n_steps: int, grid: int, *, iters: int = 5):
+    """Median seconds for a grid of VMEM-resident tile kernels.
+
+    Measurement discipline (each trap was hit during development):
+      * every computed row feeds the (1, 1, LANES) row-sum output, or
+        Mosaic dead-code-eliminates the unused rows;
+      * inputs vary per timed call, or the tunnel transport serves
+        repeat dispatches from cache;
+      * utils.profiling.measure fetch-syncs, because block_until_ready
+        can return at enqueue over the tunnel.
+    Callers difference two work sizes (slope method) to cancel the
+    ~40 ms fixed dispatch overhead.
+    """
 
     def kernel(x_ref, o_ref):
-        o_ref[...] = body(x_ref[...], n_steps)
+        o_ref[...] = jnp.sum(body(x_ref[...], n_steps), axis=1, keepdims=True)
 
     x = jnp.linspace(0.1, 0.9, _ROWS * _LANES, dtype=jnp.float32).reshape(
         _ROWS, _LANES
@@ -74,23 +88,28 @@ def _run_tile_kernel(body, n_steps: int, grid: int, *, iters: int = 5):
                 )
             ],
             out_specs=pl.BlockSpec(
-                (1, _ROWS, _LANES), lambda i: (i, 0, 0),
+                (1, 1, _LANES), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((grid, _ROWS, _LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((grid, 1, _LANES), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
             ),
         )
     )
-    # vary: the tunnel transport cache serves repeat dispatches of
-    # IDENTICAL arguments near-instantly (see utils.profiling.measure),
-    # which would report physically-impossible rates here.
     _, wall = measure(
         fn, x, warmup=2, iters=iters,
         vary=lambda i, a: (a[0] + np.float32(1e-7 * (i + 1)),),
     )
     return wall
+
+
+def _slope_rate(body, ops_per_step_elem: float, n1: int, n2: int, grid: int):
+    """ops/s from the wall-time difference of two work sizes."""
+    w1 = _time_tile_kernel(body, n1, grid)
+    w2 = _time_tile_kernel(body, n2, grid)
+    d_ops = ops_per_step_elem * (n2 - n1) * _ROWS * _LANES * grid
+    return float(d_ops / max(w2 - w1, 1e-9))
 
 
 def measure_fma_peak(n_steps: int = 1024, grid: int = 2048) -> float:
@@ -112,11 +131,10 @@ def measure_fma_peak(n_steps: int = 1024, grid: int = 2048) -> float:
             x = x - 0.5 * (x * x)
         return x
 
-    wall = _run_tile_kernel(body, n_steps, grid)
-    return 3.0 * n_steps * _ROWS * _LANES * grid / wall
+    return _slope_rate(body, 3.0, n_steps, 3 * n_steps, grid)
 
 
-def measure_transcendental_peak(n_steps: int = 128, grid: int = 1024) -> float:
+def measure_transcendental_peak(n_steps: int = 128, grid: int = 512) -> float:
     """sin() evaluations/s (each chained so none can be elided)."""
 
     def body(x, k):
@@ -124,41 +142,51 @@ def measure_transcendental_peak(n_steps: int = 128, grid: int = 1024) -> float:
             x = jnp.sin(x)
         return x
 
-    wall = _run_tile_kernel(body, n_steps, grid)
-    return float(n_steps * _ROWS * _LANES * grid / wall)
+    return _slope_rate(body, 1.0, n_steps, 3 * n_steps, grid)
 
 
-def measure_rng_peak(n_steps: int = 256, grid: int = 1024) -> float:
-    """pltpu.prng_random_bits 32-bit draws/s."""
+def measure_rng_peak(n_steps: int = 256, grid: int = 512) -> float:
+    """pltpu.prng_random_bits 32-bit draws/s (slope method)."""
 
-    def kernel(seed_ref, o_ref):
-        pltpu.prng_seed(seed_ref[0], seed_ref[1])
-        acc = jnp.zeros((_ROWS, _LANES), jnp.int32)
-        for _ in range(n_steps):
-            acc ^= pltpu.prng_random_bits((_ROWS, _LANES))
-        o_ref[0] = acc
+    def run(k):
+        def kernel(seed_ref, o_ref):
+            pltpu.prng_seed(seed_ref[0], seed_ref[1])
+            acc = jnp.zeros((_ROWS, _LANES), jnp.int32)
+            for _ in range(k):
+                acc ^= pltpu.prng_random_bits((_ROWS, _LANES))
+            # All rows feed the output (sum over sublanes) so no draw
+            # can be dead-code-eliminated; broadcast back to the
+            # minimum legal (8, 128) block.
+            o_ref[...] = jnp.broadcast_to(
+                jnp.sum(acc, axis=0, keepdims=True), (1, 8, _LANES)
+            )
 
-    fn = jax.jit(
-        pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=pl.BlockSpec(
-                (1, _ROWS, _LANES), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((grid, _ROWS, _LANES), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(
+                    (1, 8, _LANES), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((grid, 8, _LANES), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+            )
         )
-    )
-    seeds = jnp.asarray([7, 11], jnp.int32)
-    _, wall = measure(
-        fn, seeds, warmup=2, iters=5,
-        vary=lambda i, a: (a[0] + jnp.int32(i + 1),),
-    )
-    return float(n_steps * _ROWS * _LANES * grid / wall)
+        seeds = jnp.asarray([7, 11], jnp.int32)
+        _, wall = measure(
+            fn, seeds, warmup=2, iters=5,
+            vary=lambda i, a: (a[0] + jnp.int32(i + 1),),
+        )
+        return wall
+
+    w1 = run(n_steps)
+    w2 = run(3 * n_steps)
+    d = 2.0 * n_steps * _ROWS * _LANES * grid
+    return float(d / max(w2 - w1, 1e-9))
 
 
 def speed_of_light_seconds(

@@ -149,3 +149,35 @@ def test_kernel_refuses_gjk_backend():
         make_pallas_fitness(spec, batched, fit=cfg, obstacles=obstacles, interpret=True)
     # Without obstacles the backend never runs; building is fine.
     make_pallas_fitness(spec, batched, fit=cfg, interpret=True)
+
+
+def test_poly_sincos_accuracy():
+    # The kernel's range-reduced polynomial sincos must track the stock
+    # functions to ~f32 round-off over the full joint-angle range.
+    from ikpso_tpu.ops.pallas_fitness import _sincos
+
+    x = jnp.linspace(-4 * np.pi, 4 * np.pi, 100001).astype(jnp.float32)
+    s, c = _sincos(x)
+    # f32 range reduction costs ~k*2pi*eps near the range ends; 2e-6
+    # absolute is ~5 um of effector error at this model's reach.
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.asarray(x)), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.asarray(x)), atol=2e-6)
+
+
+def test_kernel_trig_impls_agree(rng):
+    # poly vs exact trig in the same kernel: fitness values must agree
+    # to well under the solver's decision scale.
+    spec, problem = library.arm_7dof()
+    batched = _batched(problem, 1)
+    x = _x(rng, 1, TILE_P, spec.dof, lo=-2 * np.pi, hi=2 * np.pi)
+    f_poly = np.asarray(
+        make_pallas_fitness(
+            spec, batched, fit=FitnessConfig(trig_impl="poly"), interpret=True
+        )(x)
+    )
+    f_exact = np.asarray(
+        make_pallas_fitness(
+            spec, batched, fit=FitnessConfig(trig_impl="exact"), interpret=True
+        )(x)
+    )
+    np.testing.assert_allclose(f_poly, f_exact, rtol=1e-5, atol=1e-5)

@@ -160,3 +160,36 @@ def test_wrap_with_topk_retries_builder_and_bucket_alignment():
         build, pso, rounds=1, bucket=4, retry_init_mode="warm",
     )
     assert built_inits == ["warm"]
+
+
+def test_wrap_with_topk_retries_deep_retry_budget():
+    # retry_iterations deepens only the retry rounds' solver: the base
+    # stays at the short budget, the retry solver gets the long one
+    # (and drops a now-indivisible rekick interval).
+    from ikpso_tpu.models import library
+    from ikpso_tpu.ops.fitness import FitnessConfig
+    from ikpso_tpu.pso.restarts import wrap_with_topk_retries
+    from ikpso_tpu.pso.solver import make_solver
+
+    spec, problem = library.planar_3dof()
+    batched = library.batched_problem(
+        problem, jnp.broadcast_to(problem.targets, (8,) + problem.targets.shape)
+    )
+    built = []
+
+    def build(pso_cfg):
+        built.append((pso_cfg.iterations, pso_cfg.init_mode,
+                      pso_cfg.rekick_interval))
+        return make_solver(
+            spec, pso=pso_cfg, fit=FitnessConfig(angle_weight=0.0),
+            num_particles=64,
+        )
+
+    pso = PSOConfig(iterations=4, rekick_interval=2, rekick_scale=0.5)
+    solver = wrap_with_topk_retries(
+        build, pso, rounds=1, bucket=4,
+        retry_init_mode="uniform", retry_iterations=11,
+    )
+    assert built == [(4, "warm", 2), (11, "uniform", 0)]
+    res = solver(batched, jax.random.key(0))
+    assert np.isfinite(np.asarray(res.effector_error)).all()
