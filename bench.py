@@ -447,17 +447,20 @@ def _kernel_sol_frac(spec, batched, key, pso, fit, *, num_particles,
     from ikpso_tpu.utils.profiling import measure
 
     walls = {}
-    for mult in (1, 2):
+    for mult in (1, 3):
         cfg = dataclasses.replace(pso, iterations=pso.iterations * mult)
         solver = make_fused_solver(
             spec, pso=cfg, fit=fit, obstacles=obstacles,
             num_particles=num_particles, swarms_per_tile=swarms_per_tile,
         )
         _, walls[mult] = measure(
-            solver, batched, key, warmup=1, iters=3,
+            solver, batched, key, warmup=1, iters=5,
             vary=lambda i, a: (a[0], jax.random.fold_in(a[1], 7000 + i)),
         )
-    dt = max(walls[2] - walls[1], 1e-9)
+    # Wall of exactly pso.iterations loop iterations: the I-vs-3I
+    # difference halved (init/dispatch/extraction cancel; the wide span
+    # keeps tunnel jitter out of the slope).
+    dt = max((walls[3] - walls[1]) / 2.0, 1e-9)
     rows = max(1, num_particles // 128)
     per_iter = (
         fitness_tile_count(

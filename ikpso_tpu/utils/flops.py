@@ -93,8 +93,10 @@ def count_jaxpr(jaxpr, mult: float = 1.0) -> FlopCount:
             sub = (eqn.params["body_jaxpr"].jaxpr, 1)
         elif name in ("cond",):
             sub = (eqn.params["branches"][0].jaxpr, 1)
-        elif name == "pjit" or name == "closed_call" or name == "core_call":
-            sub = (eqn.params["jaxpr"].jaxpr, 1)
+        elif name in ("pjit", "jit", "closed_call", "core_call", "custom_jvp_call",
+                      "custom_vjp_call", "remat", "checkpoint"):
+            inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            sub = (getattr(inner, "jaxpr", inner), 1)
         elif name == "pallas_call":
             grid = eqn.params.get("grid_mapping")
             n = int(np.prod(grid.grid, dtype=np.int64)) if grid is not None else 1
