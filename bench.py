@@ -806,6 +806,8 @@ def main() -> int:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
     if args.obstacles:
         record["collision_shape"] = args.collision_shape
+    if args.fk_impl != "unrolled":
+        record["fk_impl"] = args.fk_impl
     if retries:
         record["retries"] = retries
         if args.retry_iterations:
