@@ -407,6 +407,48 @@ def run_selftest() -> dict:
         np.testing.assert_allclose(got[~hr], ref[~hr], rtol=5e-4, atol=5e-4)
         return {"agreement": agree, "hit_frac": float(hr.mean())}
 
+    @case("deep_chain_megakernel")
+    def _deep_chain():
+        # dof > 127: the multi-row gbest output (CPU suite skips this
+        # — the 129-DOF interpret compile takes ~15 min).
+        spec_d, problem_d = library.snake(43)  # 129 DOF
+        eff = fk_ops.effector_positions(spec_d, problem_d.pose, problem_d.origin)
+        problem_anchor = problem_d.replace(targets=eff)
+        batched = library.batched_problem(
+            problem_anchor,
+            jnp.broadcast_to(eff, (8,) + eff.shape),
+        )
+        solver = make_fused_solver(
+            spec_d, pso=PSOConfig(iterations=2),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=128, swarms_per_tile=8,
+        )
+        res = solver(batched, jax.random.key(6))
+        assert res.angles.shape == (8, 129)
+        np.testing.assert_allclose(np.asarray(res.fitness), 0.0, atol=1e-9)
+        anchor = np.asarray(fk_ops.pose_to_angles(spec_d, problem_anchor.pose))
+        np.testing.assert_allclose(
+            np.asarray(res.angles), anchor[None].repeat(8, 0), atol=1e-6
+        )
+        # And a real deep solve converges through the multi-row path.
+        solver2 = make_fused_solver(
+            spec_d, pso=PSOConfig(iterations=20, inertia_mode="canonical",
+                                  inertia=0.5, inertia_end=0.2),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=256, swarms_per_tile=8,
+        )
+        res2 = solver2(
+            library.batched_problem(
+                problem_d,
+                jnp.broadcast_to(problem_d.targets,
+                                 (8,) + problem_d.targets.shape),
+            ),
+            jax.random.key(7),
+        )
+        med = float(np.median(np.asarray(res2.effector_error)))
+        assert med < 0.1, med
+        return {"median_err": med}
+
     @case("jnp_solver_convergence")
     def _jnp_convergence():
         solver = make_solver(
@@ -661,14 +703,19 @@ def main() -> int:
     impl = args.impl
     if impl == "auto":
         impl = "fused" if platform == "tpu" else "jnp"
-    if (
-        impl == "fused"
-        and args.model.startswith("snake:")
-        and 3 * int(args.model.split(":", 1)[1]) > 128
-    ):
-        # The megakernel's gbest row is one 128-lane vector (dof <=
-        # 128); deeper chains take the lax.scan solver.
-        impl = "jnp"
+    if args.impl == "auto" and impl == "fused" and args.model.startswith("snake:"):
+        # Deep chains: the megakernel packs the gbest result into
+        # multiple 128-lane rows (no dof cap since r2); the binding
+        # limit is VMEM-resident state. Fall back to the lax.scan
+        # solver only when the preset's tile cannot fit (the same
+        # estimate make_fused_solver enforces).
+        from ikpso_tpu.pso.presets import fused_preset
+
+        dof = 3 * int(args.model.split(":", 1)[1])
+        pre_snake = fused_preset(args.model)
+        rows_est = pre_snake.swarms_per_tile * (pre_snake.particles // 128)
+        if 5 * dof * rows_est * 128 * 4 > 14 * 2**20:
+            impl = "jnp"
     # Canonical inertia with a 0.5 -> 0.2 decay converges much tighter
     # than the reference's randomized mode (p90 0.07mm vs 22mm) and in
     # fewer iterations (20 vs 60); randomized stays available for

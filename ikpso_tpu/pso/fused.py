@@ -419,15 +419,26 @@ def _build_solver_kernel(
             )
 
         gvals, gb = gbest_tiles(lbest, lbest_val)
-        # Result row per swarm: lanes [0, D) = gbest angles, lane D =
-        # gbest value.
+        # Result rows per swarm: the flattened [gbest angles..., gbest
+        # value] vector packed into ceil((D+1)/LANES) rows of LANES
+        # lanes each (one row when D < 128 — deeper chains get more
+        # rows instead of a dof cap).
+        rows_out = (d + 1 + LANES - 1) // LANES
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         out_rows = []
         for j in range(sw_count):
-            acc = jnp.where(lane == d, gvals[j], 0.0)
-            for dd in range(d):
-                acc = jnp.where(lane == dd, gb[dd * R + j * rows, 0], acc)
-            out_rows.append(acc)
+            for r in range(rows_out):
+                lo_d = r * LANES
+                hi_d = min(d, (r + 1) * LANES)
+                if lo_d <= d < (r + 1) * LANES:
+                    acc = jnp.where(lane == d - lo_d, gvals[j], 0.0)
+                else:
+                    acc = jnp.zeros((1, LANES), jnp.float32)
+                for dd in range(lo_d, hi_d):
+                    acc = jnp.where(
+                        lane == dd - lo_d, gb[dd * R + j * rows, 0], acc
+                    )
+                out_rows.append(acc)
         out_ref[0] = jnp.concatenate(out_rows, axis=0)
 
     return kernel
@@ -477,6 +488,7 @@ def fused_solve_raw(
     )
 
     n = spec.num_nodes
+    rows_out = (d + 1 + LANES - 1) // LANES
     flops_pp = ((n - 1) * 140 + d * 12) * (pso.iterations + 1)
     k = swarm.shape[-1]
     in_specs = [
@@ -515,10 +527,12 @@ def fused_solve_raw(
         in_specs=in_specs,
         # Trailing block dims must equal the array dims.
         out_specs=pl.BlockSpec(
-            (1, sw_count, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, sw_count * rows_out, LANES),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (grid_n, sw_count, LANES), jnp.float32, vma=vma
+            (grid_n, sw_count * rows_out, LANES), jnp.float32, vma=vma
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_pp * s * num_particles,
@@ -532,7 +546,7 @@ def fused_solve_raw(
         ),
         interpret=interpret,
     )(*args)
-    out = out.reshape(s, LANES)
+    out = out.reshape(s, rows_out * LANES)
     return out[:, :d], out[:, d]
 
 
@@ -552,12 +566,19 @@ def make_fused_solver(
     convergence-analysis tool; ``trace`` here has one entry: the final
     gbest fitness).
     """
-    if spec.dof > 128:
+    # Deep chains (dof > 127) pack the gbest result into multiple
+    # 128-lane rows per swarm — no dof cap. The binding limit is the
+    # VMEM working set of the resident state (x, v, lbest, plus the
+    # clamp-bound and gbest scratch tiles): warn-by-raise when the
+    # configuration clearly cannot fit, with the fix in the message.
+    state_bytes = 5 * spec.dof * swarms_per_tile * (num_particles // 128) * 128 * 4
+    if state_bytes > 14 * 2**20:
         raise ValueError(
-            f"fused megakernel supports dof <= 128 (the gbest "
-            f"coordinates leave the kernel as one 128-lane vector row); "
-            f"got dof={spec.dof} — use the lax.scan solver "
-            f"(impl='jnp') for deeper chains"
+            f"fused megakernel tile too large: dof={spec.dof} x "
+            f"swarms_per_tile={swarms_per_tile} x particles="
+            f"{num_particles} needs ~{state_bytes / 2**20:.0f} MB of "
+            f"VMEM-resident state (~14 MB budget) — shrink "
+            f"swarms_per_tile or num_particles, or use impl='jnp'"
         )
     num_obstacles = 0 if obstacles is None else obstacles.count
     if num_obstacles and fit.collision_backend == "gjk":

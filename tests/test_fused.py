@@ -612,3 +612,45 @@ def test_fused_solver_capsule_obstacles():
     # Every particle stays near the colliding anchor in interpret mode
     # (degenerate RNG), so gbest keeps the penalty.
     assert (np.asarray(res2.fitness) >= 1e30).all()
+
+
+@pytest.mark.skipif(
+    INTERPRET,
+    reason="129-DOF interpret-mode compile takes ~15 min on CPU; the "
+    "case runs on real TPU via bench.py --selftest (deep_chain_megakernel)",
+)
+def test_fused_deep_chain_multirow_output():
+    # dof > 127 packs the gbest result into multiple 128-lane rows per
+    # swarm (r2: the megakernel's dof cap removed). Anchor-exact
+    # targets must survive as gbest across the row boundary: fitness 0
+    # and angles == anchor for every one of the 129 DOF.
+    spec, problem = library.snake(43)  # 129 DOF
+    assert spec.dof == 129
+    eff = fk_ops.effector_positions(spec, problem.pose, problem.origin)
+    problem = problem.replace(targets=eff)
+    batched = _batched(problem, 8)
+    solver = make_fused_solver(
+        spec,
+        pso=PSOConfig(iterations=2),
+        fit=FitnessConfig(angle_weight=0.0),
+        num_particles=128,
+        swarms_per_tile=8,
+        interpret=_interpret(),
+    )
+    res = solver(batched, jax.random.key(0))
+    assert res.angles.shape == (8, 129)
+    np.testing.assert_allclose(np.asarray(res.fitness), 0.0, atol=1e-9)
+    anchor = np.asarray(fk_ops.pose_to_angles(spec, problem.pose))
+    np.testing.assert_allclose(
+        np.asarray(res.angles), anchor[None].repeat(8, 0), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(res.effector_error), 0.0, atol=1e-4)
+
+
+def test_fused_rejects_oversized_tile():
+    spec, _ = library.snake(60)  # 180 DOF
+    with pytest.raises(ValueError, match="VMEM"):
+        make_fused_solver(
+            spec, num_particles=1024, swarms_per_tile=32,
+            interpret=_interpret(),
+        )
