@@ -731,9 +731,10 @@ def main() -> int:
             f"error: unknown model {args.model!r}; expected one of "
             f"{sorted(FUSED_PRESETS)} or 'snake:<links>'"
         )
-    dp, dsw, dit, drk, dpol, dret, dretinit = (
+    dp, dsw, dit, drk, dpol, dret, dretinit, dretiters = (
         pre.particles, pre.swarms_per_tile, pre.iterations,
         pre.rekick_interval, pre.polish, pre.retries, pre.retry_init_mode,
+        pre.retry_iterations,
     )
     if args.swarms is None:
         args.swarms = pre.swarms if impl == "fused" else 16384
@@ -778,6 +779,8 @@ def main() -> int:
     retry_init_mode = args.retry_init_mode
     if retry_init_mode is None and retries and impl == "fused":
         retry_init_mode = dretinit
+    if args.retry_iterations is None and retries and impl == "fused":
+        args.retry_iterations = dretiters
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace

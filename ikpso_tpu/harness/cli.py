@@ -490,6 +490,7 @@ def cmd_sweep(args) -> int:
         impl=_pick_impl(args, cfg),
         retries=args.retries,
         retry_init_mode=args.retry_init_mode,
+        retry_iterations=getattr(args, "retry_iterations", None),
         polish=args.polish,
         swarms_per_tile=args.swarms_per_tile,
     )
@@ -658,6 +659,11 @@ def main(argv=None) -> int:
         help="swarm init for the retry rounds only (default: same as "
         "--init-mode); uniform/hybrid de-correlates wrong-basin "
         "retries from the failed warm basin",
+    )
+    p.add_argument(
+        "--retry-iterations", type=int, default=None,
+        help="PSO iterations for the retry rounds only (deep retries "
+        "on the failed bucket; default: same as the base config)",
     )
     p.add_argument(
         "--multihost", action="store_true",

@@ -228,6 +228,7 @@ def solve_waypoints(
     impl: str = "jnp",
     retries: int = 0,
     retry_init_mode: Optional[str] = None,
+    retry_iterations: Optional[int] = None,
     swarms_per_tile: int = 1,
     retry_err_threshold: float = 1e-3,
     polish: int = 0,
@@ -290,6 +291,7 @@ def solve_waypoints(
     solver = wrap_with_topk_retries(
         build, pso, rounds=retries, bucket=max(1, batch_size // 8),
         err_threshold=retry_err_threshold, retry_init_mode=retry_init_mode,
+        retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
     )
 

@@ -32,6 +32,10 @@ class FusedPreset:
     polish: int
     retries: int
     retry_init_mode: Optional[str] = None
+    # PSO budget for the retry rounds only (None = same as the base):
+    # only the failed bucket pays, so a much deeper retry is cheap —
+    # the wrong-basin tail-closing tool (pso/restarts.py).
+    retry_iterations: Optional[int] = None
     rekick_scale: float = 0.5
     rekick_threshold: float = 1e-6
     # The frontier recipes were all measured with the canonical
@@ -61,12 +65,15 @@ FUSED_PRESETS = {
     # 99.98%) but uniform-init retries close it — its failures are
     # wrong-basin, not premature convergence.
     "planar_3dof": FusedPreset(128, 128, 8, 0, 4, 2, "uniform"),
-    # 350.5k @ 99.82% (out/bench_sweep26.jsonl): the exactly-determined
+    # 260.1k @ 100.00% (r2_sweep.jsonl): the exactly-determined
     # position+orientation task leaves wrong-basin failures that only
     # DIVERSE retries fix (92.1% with warm retries,
-    # out/bench_retryinit.jsonl); 8 uniform-init rounds is the
-    # measured frontier of that tradeoff.
-    "arm_6dof": FusedPreset(128, 128, 40, 20, 4, 8, "uniform"),
+    # out/bench_retryinit.jsonl). 20 uniform-init retry rounds at a
+    # DEEP 80-iteration budget close the tail completely; fewer rounds
+    # trade tail for speed (14 rounds: 99.99% @ 333.4k, 10 rounds:
+    # 99.94% @ 382.2k).
+    "arm_6dof": FusedPreset(128, 128, 40, 20, 4, 20, "uniform",
+                            retry_iterations=80),
     # 103.8k @ 100.00% (out/bench_sweep28.jsonl; sw/tile 2: 87.9k,
     # sw/tile 4: 97.3k): 14-DOF needs the big
     # P=1024 swarm for basin capture; hybrid-init retries close the
