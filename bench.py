@@ -714,8 +714,20 @@ def main() -> int:
         dof = 3 * int(args.model.split(":", 1)[1])
         pre_snake = fused_preset(args.model)
         rows_est = pre_snake.swarms_per_tile * (pre_snake.particles // 128)
-        if 5 * dof * rows_est * 128 * 4 > 14 * 2**20:
+        # Same empirical VMEM model make_fused_solver enforces; deep
+        # chains halve the tile packing until the state fits, and only
+        # an un-packable single-row tile falls back to the jnp solver.
+        while rows_est > pre_snake.particles // 128 and (
+            9 * dof * rows_est * 128 * 4 > 14 * 2**20
+        ):
+            rows_est //= 2
+        if 9 * dof * rows_est * 128 * 4 > 14 * 2**20:
             impl = "jnp"
+        else:
+            args.swarms_per_tile = (
+                args.swarms_per_tile
+                or rows_est // (pre_snake.particles // 128)
+            )
     # Canonical inertia with a 0.5 -> 0.2 decay converges much tighter
     # than the reference's randomized mode (p90 0.07mm vs 22mm) and in
     # fewer iterations (20 vs 60); randomized stays available for

@@ -571,7 +571,10 @@ def make_fused_solver(
     # VMEM working set of the resident state (x, v, lbest, plus the
     # clamp-bound and gbest scratch tiles): warn-by-raise when the
     # configuration clearly cannot fit, with the fix in the message.
-    state_bytes = 5 * spec.dof * swarms_per_tile * (num_particles // 128) * 128 * 4
+    # Factor 9 is empirical: a 129-DOF x (32,128)-tile config measured
+    # 17.47 MB of scoped VMEM (~8.3 state-array equivalents — x/v/lbest
+    # plus clamp bounds, gbest scratch and Mosaic stack headroom).
+    state_bytes = 9 * spec.dof * swarms_per_tile * (num_particles // 128) * 128 * 4
     if state_bytes > 14 * 2**20:
         raise ValueError(
             f"fused megakernel tile too large: dof={spec.dof} x "
