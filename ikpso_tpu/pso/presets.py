@@ -51,15 +51,14 @@ class FusedPreset:
 
 
 FUSED_PRESETS = {
-    # 780.3k solves/s @ 100.00% <1mm: with retries in place 8 PSO
-    # iterations find the basin, 4 LM steps finish, and retry rounds
+    # 877.2k solves/s @ 100.00% <1mm (r2): with retries in place 8 PSO
+    # iterations find the basin, 4 LM steps finish, and 4 retry rounds
     # erase the tail; the re-kick is dead weight at this depth. The
-    # 4th retry round costs ~5% but makes the 100.00% tail robust
-    # across RNG streams (3 rounds measure 99.99-100.00% depending on
-    # the key: 822.4k @ sweep25, 819.3k @ 99.99% re-run). Tile packing
-    # peaks at 128 swarms per (896,128) tile (sw=32: 766k, sw=64:
-    # 817k, sw=256: 782k — out/bench_sweep{24,25,26}.jsonl).
-    "arm_7dof": FusedPreset(128, 128, 8, 0, 4, 4),
+    # polynomial-sincos kernels (r2) moved the tile-packing optimum
+    # from 128 to 256 swarms per (1792,128) tile (sw=64: 851.5k,
+    # sw=128: 811-837k, sw=256: 877.2k; sw=512 exceeds the VMEM
+    # budget — bench_records/r2_sweep.jsonl session r2-tile).
+    "arm_7dof": FusedPreset(128, 256, 8, 0, 4, 4),
     # 867.1k @ 100.000% (out/bench_sweep26.jsonl): planar's residual
     # tail is warm-retry-resistant (8 it + warm retries plateaus at
     # 99.98%) but uniform-init retries close it — its failures are
