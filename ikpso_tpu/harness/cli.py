@@ -412,6 +412,20 @@ def cmd_parity(args) -> int:
         "iter2": dict(init_mode="warm", angle_weight=0.0),
         "iter3": dict(init_mode="warm", angle_weight=3.0),
     }
+    # The reports never state the PSO coefficients; the repository
+    # documents exactly two candidate configs (SURVEY.md §2.4.7):
+    # the shipped Main.cpp:130 hardcode (0.5/0.5/1.25, 15 iterations)
+    # and the Particle.h:60 struct defaults (0.2/0.5/0.7, 10
+    # iterations). `--pso-variant struct` runs the historical-config
+    # hypothesis for the iteration-1/2 reports, whose measuring code
+    # predates the shipped source.
+    pso_variants = {
+        "shipped": dict(inertia=0.5, cognitive=0.5, social=1.25,
+                        iterations=15),
+        "struct": dict(inertia=0.2, cognitive=0.5, social=0.7,
+                       iterations=10),
+    }
+    variant = pso_variants[args.pso_variant]
     ref = load_reference_frames()
     spec, problem = reference_arm()
     reset = reference_reset_targets()
@@ -424,8 +438,8 @@ def cmd_parity(args) -> int:
             problem,
             reset,
             jax.random.key(args.seed),
-            pso=PSOConfig(iterations=15, inertia_mode="randomized",
-                          init_mode=p["init_mode"]),
+            pso=PSOConfig(inertia_mode="randomized",
+                          init_mode=p["init_mode"], **variant),
             fit=FitnessConfig(angle_weight=p["angle_weight"]),
             num_particles=args.particles,
             eps_dist=0.025,
@@ -445,10 +459,13 @@ def cmd_parity(args) -> int:
         rec["unconverged"] = int((frames < 0).sum())
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
-    print(json.dumps(dict(metric="parity", trials=args.trials, results=out)))
+    print(json.dumps(dict(metric="parity", trials=args.trials,
+                          pso_variant=args.pso_variant, results=out)))
     if args.out:
         with open(args.out, "a") as fh:
-            fh.write(json.dumps(dict(trials=args.trials, results=out)) + "\n")
+            fh.write(json.dumps(dict(trials=args.trials,
+                                     pso_variant=args.pso_variant,
+                                     results=out)) + "\n")
     return 0
 
 
@@ -638,6 +655,13 @@ def main(argv=None) -> int:
     p.add_argument(
         "--protocols", default=None,
         help="comma list of iter1,iter2,iter3 (default: all)",
+    )
+    p.add_argument(
+        "--pso-variant", choices=("shipped", "struct"), default="shipped",
+        help="PSO coefficients: the shipped Main.cpp hardcode "
+        "(0.5/0.5/1.25, 15 it) or the Particle.h struct defaults "
+        "(0.2/0.5/0.7, 10 it) — the historical-config hypothesis for "
+        "the iteration-1/2 reports",
     )
     p.add_argument("--out", default=None, help="append JSON record to FILE")
     p.set_defaults(fn=cmd_parity)

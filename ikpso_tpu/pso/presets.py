@@ -46,7 +46,11 @@ class FusedPreset:
     # overhead (~27 ms over the tunnel), but the LM polish's unrolled
     # per-DOF intermediates scale with S x DOF^2 — 30-DOF chains OOM
     # the 16 GB HBM at S=262144 (measured 22.25G), so deep chains cap
-    # the batch at 65536.
+    # the batch at 65536. The 7-DOF headline fits S=1048576 (its HBM
+    # frontier: 1.5M programs need 24.3G) and measures a 1.034M/s
+    # marginal solve rate with ~44 ms fixed overhead per dispatch —
+    # 262144: 877.9k, 524288: 951.8k, 1048576: 990.9k solves/s, all
+    # @ 100.00% <1mm (bench_records/r2_sweep.jsonl session r2c-batch).
     swarms: int = 262_144
 
 
@@ -58,7 +62,7 @@ FUSED_PRESETS = {
     # from 128 to 256 swarms per (1792,128) tile (sw=64: 851.5k,
     # sw=128: 811-837k, sw=256: 877.2k; sw=512 exceeds the VMEM
     # budget — bench_records/r2_sweep.jsonl session r2-tile).
-    "arm_7dof": FusedPreset(128, 256, 8, 0, 4, 4),
+    "arm_7dof": FusedPreset(128, 256, 8, 0, 4, 4, swarms=1_048_576),
     # 867.1k @ 100.000% (out/bench_sweep26.jsonl): planar's residual
     # tail is warm-retry-resistant (8 it + warm retries plateaus at
     # 99.98%) but uniform-init retries close it — its failures are
