@@ -63,11 +63,14 @@ FUSED_PRESETS = {
     # sw=128: 811-837k, sw=256: 877.2k; sw=512 exceeds the VMEM
     # budget — bench_records/r2_sweep.jsonl session r2-tile).
     "arm_7dof": FusedPreset(128, 256, 8, 0, 4, 4, swarms=1_048_576),
-    # 867.1k @ 100.000% (out/bench_sweep26.jsonl): planar's residual
-    # tail is warm-retry-resistant (8 it + warm retries plateaus at
-    # 99.98%) but uniform-init retries close it — its failures are
-    # wrong-basin, not premature convergence.
-    "planar_3dof": FusedPreset(128, 128, 8, 0, 4, 2, "uniform"),
+    # 1.144M @ 100.00% at the S=1M batch frontier (r2c-batch; 935.9k
+    # at S=262144; sw/tile 256 reads slightly worse here, 1.120M —
+    # planar keeps 128). Planar's residual tail is warm-retry-resistant
+    # (8 it + warm retries plateaus at 99.98%) but uniform-init retries
+    # close it — its failures are wrong-basin, not premature
+    # convergence.
+    "planar_3dof": FusedPreset(128, 128, 8, 0, 4, 2, "uniform",
+                               swarms=1_048_576),
     # 260.1k @ 100.00% (r2_sweep.jsonl): the exactly-determined
     # position+orientation task leaves wrong-basin failures that only
     # DIVERSE retries fix (92.1% with warm retries,
