@@ -205,6 +205,67 @@ def dual_arm_14dof(
     return spec, _problem(pose, [target_a, target_b])
 
 
+def humanoid_45dof() -> Tuple[ChainSpec, IKProblem]:
+    """5-effector humanoid tree: 16 nodes, 45 DOF, two branch points.
+
+    pelvis(origin) -> spine -> chest, with the head and both arms
+    branching at the chest and both legs branching at the pelvis —
+    the richest tree topology in the zoo. The reference demonstrates
+    trees via 3 effector children of ONE node (reference
+    Main.cpp:100-117, flat parentIndex form Node.h:232-267); this
+    model exercises multi-LEVEL branching (two interior nodes with 3
+    children each) and five weighted effectors (head, hands, feet)
+    through the same parent-indexed FK.
+
+    Targets are the FK effector positions of a hand-picked bent pose,
+    so all five are simultaneously reachable by construction; the
+    solve starts from the straight canonical pose.
+    """
+    from ikpso_tpu.ops.fk import fk_points
+
+    #           0   1  2  3  4  5  6  7  8  9  10  11  12  13  14  15
+    # pelvis, spine, chest, head, Lsho, Lelb, Lhand, Rsho, Relb,
+    # Rhand, Lhip, Lknee, Lfoot, Rhip, Rknee, Rfoot
+    parent = [-1, 0, 1, 2, 2, 4, 5, 2, 7, 8, 0, 10, 11, 0, 13, 14]
+    length = [0.0, 0.5, 0.5, 0.3,
+              0.4, 0.5, 0.5,
+              0.4, 0.5, 0.5,
+              0.3, 0.6, 0.6,
+              0.3, 0.6, 0.6]
+    n = len(parent)
+    limit = 2.0
+    min_rot = np.full((n, 3), -limit, np.float32)
+    max_rot = np.full((n, 3), limit, np.float32)
+    min_rot[0] = max_rot[0] = 0.0
+    spec = make_chain_spec(
+        parent=parent,
+        length=length,
+        min_rotation=min_rot,
+        max_rotation=max_rot,
+        effector_idx=[3, 6, 9, 12, 15],
+        effector_weight=[1.0, 1.0, 1.0, 1.0, 1.0],
+    )
+    pose = np.zeros((n, 3), np.float32)
+    target_pose = np.zeros((n, 3), np.float32)
+    target_pose[1] = (0.0, 0.15, 0.10)   # spine
+    target_pose[2] = (0.0, 0.10, 0.10)   # chest
+    target_pose[3] = (0.10, 0.0, 0.20)   # head
+    target_pose[4] = (0.0, 0.80, 0.50)   # L shoulder
+    target_pose[5] = (0.0, 0.0, 0.70)    # L elbow
+    target_pose[7] = (0.0, -0.80, -0.50)  # R shoulder
+    target_pose[8] = (0.0, 0.0, -0.70)   # R elbow
+    target_pose[10] = (0.0, -0.60, 0.40)  # L hip
+    target_pose[11] = (0.0, 0.0, -0.80)  # L knee
+    target_pose[13] = (0.0, 0.60, -0.40)  # R hip
+    target_pose[14] = (0.0, 0.0, 0.80)   # R knee
+    origin = jnp.zeros(3, jnp.float32)
+    points = fk_points(
+        spec, jnp.asarray(target_pose, jnp.float32), origin
+    )
+    targets = np.asarray(points)[np.asarray([3, 6, 9, 12, 15])]
+    return spec, _problem(pose, targets)
+
+
 def batched_problem(
     problem: IKProblem,
     targets: jnp.ndarray,

@@ -381,3 +381,40 @@ def test_snake_30dof_converges_with_polish():
     solver = wrap_with_polish(base, spec, steps=6)
     res = solver(_single(problem), jax.random.key(3))
     assert float(res.effector_error[0]) < 1e-3
+
+
+def test_humanoid_tree_solving():
+    """45-DOF 5-effector humanoid: multi-level branching solves.
+
+    Two interior nodes have 3 children each (pelvis: spine + both
+    legs; chest: head + both arms) — deeper tree structure than the
+    reference's single 3-effector branch (Main.cpp:100-117). Targets
+    are FK positions of a bent pose, so a (near-)zero-error solution
+    exists.
+    """
+    spec, problem = library.humanoid_45dof()
+    assert spec.num_nodes == 16
+    # Branch points: nodes 0 and 2 each have three children.
+    parent = np.asarray(spec.parent)
+    assert (parent == 0).sum() == 3 and (parent == 2).sum() == 3
+    pso = PSOConfig(
+        iterations=60, inertia_mode="canonical", inertia=0.5,
+        inertia_end=0.2, init_mode="hybrid",
+    )
+    fit = FitnessConfig(angle_weight=0.0)
+    res = solve_single(
+        spec, problem, jax.random.key(0), pso=pso, fit=fit,
+        num_particles=512,
+    )
+    # Summed over 5 effectors; straight-pose initial error is >3.
+    # PSO finds the basin; the LM polish (the shipping recipe's
+    # finishing stage) drives it to sub-mm.
+    assert float(res.effector_error) < 1.5
+    from ikpso_tpu.ops.fitness import true_effector_error
+    from ikpso_tpu.pso.polish import polish_angles
+
+    batched = _single(problem)
+    out = polish_angles(spec, batched, res.angles[None], steps=6)
+    pose = fk_ops.angles_to_pose(spec, batched.pose[..., 0, :], out)
+    err = float(np.asarray(true_effector_error(spec, pose, batched))[0])
+    assert err < 1e-3
