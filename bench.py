@@ -29,6 +29,19 @@ import numpy as np
 
 BASELINE_SOLVES_PER_S_PER_CHIP = 125_000.0
 
+_T0 = time.time()
+
+
+def _progress(msg: str) -> None:
+    """Stderr breadcrumb with elapsed seconds.
+
+    The official driver runs ``python bench.py`` under a timeout and
+    records the tail; round 2's capture died silently at rc=124
+    (BENCH_r02.json, parsed null) with no way to tell compile from
+    hang. These lines make any future timeout diagnosable from the
+    recorded tail alone."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def _obstacle_scene(spec, n):
     """A deterministic n-box scene scaled to the chain's reach.
@@ -195,10 +208,16 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     # Distinct key per timed call: repeat dispatches of identical
     # args are cache-served by the tunnel transport (~0 ms walls),
     # poisoning the timing stats.
+    _progress(
+        f"compiling + measuring solve (S={s}, P={num_particles}, "
+        f"I={iterations}, impl={impl}; cold Mosaic compiles take "
+        "minutes — warm cache hits take seconds)"
+    )
     res, wall = measure(
         solver, batched, key_s, warmup=2, iters=5,
         vary=lambda i, a: (a[0], jax.random.fold_in(a[1], i)),
     )
+    _progress(f"measured wall {wall * 1e3:.1f} ms per batch")
     err_mm = np.asarray(res.effector_error) * 1000.0
     scored = err_mm if feasible is None else err_mm[feasible]
     # Counted-op model of the base PSO stage (utils.flops traces the
@@ -223,13 +242,16 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         gtranscendentals=count.transcendentals / wall / 1e9,
     )
     if impl == "fused" and kernel_sol:
-        out.update(
-            _kernel_sol_frac(
-                spec, batched, key_s, pso, fit,
-                num_particles=num_particles,
-                swarms_per_tile=swarms_per_tile,
-                obstacles=obstacles, orientation=orientation, s=s,
-            )
+        # Deferred: the sol slope compiles two EXTRA fused-solver
+        # variants (I and 3I iterations) — minutes each from a cold
+        # cache. main() prints the headline JSON line first, then
+        # calls this thunk (VERDICT r2 #1: round 2's official capture
+        # timed out inside exactly these compiles).
+        out["_sol_thunk"] = lambda: _kernel_sol_frac(
+            spec, batched, key_s, pso, fit,
+            num_particles=num_particles,
+            swarms_per_tile=swarms_per_tile,
+            obstacles=obstacles, orientation=orientation, s=s,
         )
     if feasible is not None:
         out["frac_targets_feasible"] = float(feasible.mean())
@@ -666,9 +688,23 @@ def main() -> int:
         help="session tag stamped into --record lines",
     )
     parser.add_argument(
-        "--no-sol", action="store_true",
-        help="skip the speed-of-light kernel measurement (two extra "
-        "compiles of the bare fused solver at I and 2I iterations)",
+        "--sol", action="store_true",
+        help="measure the speed-of-light kernel fraction (two extra "
+        "compiles of the bare fused solver at I and 3I iterations — "
+        "minutes each from a cold cache, so OPT-IN; the headline JSON "
+        "line prints before this runs either way)",
+    )
+    parser.add_argument(
+        # Deprecated no-op kept so round-2 command lines still run.
+        "--no-sol", action="store_true", help=argparse.SUPPRESS,
+    )
+    parser.add_argument(
+        "--latency", action="store_true",
+        help="direct latency protocol (BASELINE '<10 ms per PSO run'): "
+        "wall time of ONE S=1280 batch (the v5p-16 per-chip share of "
+        "the 10k-solve target, rounded up to the tile multiple) at the "
+        "shipping defaults, with the tunnel dispatch overhead measured "
+        "separately and decomposed out",
     )
     parser.add_argument(
         "--selftest", action="store_true",
@@ -684,7 +720,19 @@ def main() -> int:
     # tunnel take minutes; cache them across processes.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import os
+
+    cache_entries = (
+        len(os.listdir("/root/repo/.jax_cache"))
+        if os.path.isdir("/root/repo/.jax_cache")
+        else 0
+    )
     platform = jax.devices()[0].platform
+    _progress(
+        f"platform={platform}, persistent cache entries={cache_entries}"
+        + ("" if cache_entries else
+           " (COLD cache: expect minutes of Mosaic compiles)")
+    )
     if args.selftest:
         results = run_selftest()
         record = {
@@ -749,7 +797,14 @@ def main() -> int:
         pre.retry_iterations,
     )
     if args.swarms is None:
-        args.swarms = pre.swarms if impl == "fused" else 16384
+        if args.latency:
+            # BASELINE's latency sentence is a 10k-solve batch on a
+            # v5p-16 == 1,250 solves/chip; 1280 is the next multiple
+            # of the 256-swarm tile. Measured directly, not amortized
+            # from big-batch walls (VERDICT r2 weak #3).
+            args.swarms = 1280
+        else:
+            args.swarms = pre.swarms if impl == "fused" else 16384
     particles = args.particles or (dp if impl == "fused" else 1024)
     if args.swarms_per_tile is not None:
         swarms_per_tile = args.swarms_per_tile
@@ -825,21 +880,56 @@ def main() -> int:
             collision_shape=args.collision_shape,
             fk_impl=args.fk_impl,
             kernel_sol=(impl == "fused" and platform == "tpu"
-                        and not args.no_sol),
+                        and args.sol),
             retry_iterations=args.retry_iterations,
             retry_bucket=args.retry_bucket,
         )
-    value = stats["solves_per_s"]
-    metric = (
-        "7dof_ik_solves_per_s_per_chip"
-        if args.model == "arm_7dof"
-        else f"{args.model.replace(':', '')}_ik_solves_per_s_per_chip"
-    )
-    record = {
-        "metric": metric,
-        "value": round(value, 1),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(value / BASELINE_SOLVES_PER_S_PER_CHIP, 4),
+    sol_thunk = stats.pop("_sol_thunk", None)
+    if args.latency:
+        from ikpso_tpu.utils.profiling import measure as _measure
+
+        # The tunnel's fixed per-dispatch cost, measured on a trivial
+        # program with varying inputs (identical args are served from
+        # the transport cache — CLAUDE.md TPU timing rules): what a
+        # directly-attached host would NOT pay.
+        tiny = jax.jit(lambda x: x + 1.0)
+        _progress("measuring dispatch overhead (trivial program)")
+        _, dispatch_s = _measure(
+            tiny, jnp.zeros((8,), jnp.float32), warmup=2, iters=9,
+            vary=lambda i, a: (a[0] + np.float32(i),),
+        )
+        stats["dispatch_ms"] = dispatch_s * 1e3
+        stats["device_ms"] = (stats["wall_s"] - dispatch_s) * 1e3
+    model_tag = args.model.replace(":", "")
+    if args.latency:
+        # Direct evidence for "<10 ms per PSO run": one batched PSO
+        # run (init + iterations + polish + retries) of the per-chip
+        # share of the 10k-solve target. vs_baseline = 10 ms budget /
+        # measured wall (higher is better).
+        wall_ms = stats["wall_s"] * 1e3
+        metric = f"{model_tag}_latency_ms_per_{args.swarms}solve_run"
+        record = {
+            "metric": metric,
+            "value": round(wall_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(10.0 / wall_ms, 4),
+            "dispatch_ms": round(stats["dispatch_ms"], 3),
+            "device_ms": round(stats["device_ms"], 3),
+        }
+    else:
+        value = stats["solves_per_s"]
+        metric = (
+            "7dof_ik_solves_per_s_per_chip"
+            if args.model == "arm_7dof"
+            else f"{model_tag}_ik_solves_per_s_per_chip"
+        )
+        record = {
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": "solves/s/chip",
+            "vs_baseline": round(value / BASELINE_SOLVES_PER_S_PER_CHIP, 4),
+        }
+    record.update({
         "platform": platform,
         "impl": impl,
         "swarms": args.swarms,
@@ -856,14 +946,7 @@ def main() -> int:
         "wall_ms_per_solve_batch": round(stats["wall_s"] * 1e3, 3),
         "gflops": round(stats["gflops"], 1),
         "gtranscendentals": round(stats["gtranscendentals"], 1),
-    }
-    if "sol_frac" in stats:
-        record["sol_frac"] = round(stats["sol_frac"], 4)
-        record["kernel_wall_ms"] = round(stats["kernel_wall_s"] * 1e3, 3)
-        record["kernel_gflops"] = round(stats["kernel_gflops"], 1)
-        record["kernel_gtranscendentals"] = round(
-            stats["kernel_gtranscendentals"], 1
-        )
+    })
     if "frac_targets_feasible" in stats:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
     if args.obstacles:
@@ -886,7 +969,22 @@ def main() -> int:
         record["orientation"] = True
         record["p50_orient_err_deg"] = round(stats["p50_orient_err_deg"], 3)
         record["p90_orient_err_deg"] = round(stats["p90_orient_err_deg"], 3)
-    print(json.dumps(record))
+    # The official line prints (and flushes) BEFORE any optional
+    # extras: a timeout during --sol can no longer cost the capture.
+    print(json.dumps(record), flush=True)
+    if sol_thunk is not None:
+        _progress("headline printed; measuring --sol kernel fraction "
+                  "(two extra fused-solver compiles)")
+        sol = sol_thunk()
+        record["sol_frac"] = round(sol["sol_frac"], 4)
+        record["kernel_wall_ms"] = round(sol["kernel_wall_s"] * 1e3, 3)
+        record["kernel_gflops"] = round(sol["kernel_gflops"], 1)
+        record["kernel_gtranscendentals"] = round(
+            sol["kernel_gtranscendentals"], 1
+        )
+        print(json.dumps({k: record[k] for k in (
+            "metric", "sol_frac", "kernel_wall_ms", "kernel_gflops",
+            "kernel_gtranscendentals")}), file=sys.stderr, flush=True)
     if args.record:
         logged = {"model": args.model, **record}
         if args.session:

