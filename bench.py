@@ -471,6 +471,39 @@ def run_selftest() -> dict:
         assert med < 0.1, med
         return {"median_err": med}
 
+    @case("deep_chain_on_mesh")
+    def _deep_chain_on_mesh():
+        # dof>127 multi-row megakernel UNDER a mesh on real hardware
+        # (VERDICT r2 #6b; the CPU dryrun documents why this case
+        # lives here: the 129-DOF interpreter compile alone runs >10
+        # min). Anchor-exact targets: warm-start particle has fitness
+        # 0 and must survive sharded gbest extraction bit-exactly.
+        from ikpso_tpu.parallel.mesh import make_mesh
+        from ikpso_tpu.parallel.sharded import solve_sharded
+
+        spec_d, problem_d = library.snake(43)  # 129 DOF
+        eff = fk_ops.effector_positions(
+            spec_d, problem_d.pose, problem_d.origin
+        )
+        batched = library.batched_problem(
+            problem_d.replace(targets=eff),
+            jnp.broadcast_to(eff, (16,) + eff.shape),
+        )
+        mesh = make_mesh((1,), ("swarm",), devices=jax.devices()[:1])
+        res = solve_sharded(
+            spec_d, batched, jax.random.key(8), mesh, impl="fused",
+            pso=PSOConfig(iterations=2),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=128, swarms_per_tile=8,
+        )
+        assert res.angles.shape == (16, 129)
+        np.testing.assert_allclose(np.asarray(res.fitness), 0.0, atol=1e-9)
+        anchor = np.asarray(fk_ops.pose_to_angles(spec_d, problem_d.pose))
+        np.testing.assert_allclose(
+            np.asarray(res.angles), anchor[None].repeat(16, 0), atol=1e-6
+        )
+        return {"max_err": float(np.asarray(res.effector_error).max())}
+
     @case("jnp_solver_convergence")
     def _jnp_convergence():
         solver = make_solver(
@@ -848,6 +881,8 @@ def main() -> int:
         retry_init_mode = dretinit
     if args.retry_iterations is None and retries and impl == "fused":
         args.retry_iterations = dretiters
+    if args.retry_bucket is None and retries and impl == "fused":
+        args.retry_bucket = pre.retry_bucket
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -857,15 +892,16 @@ def main() -> int:
     else:
         spec, problem = getattr(library, args.model)()
     obstacles = _obstacle_scene(spec, args.obstacles) if args.obstacles else None
-    with trace(args.profile):
-        stats = _target_p50_under_1mm(
+
+    def _run(s_):
+        return _target_p50_under_1mm(
             spec,
             problem,
             jax.random.key(0),
             num_particles=particles,
             iterations=iterations,
             impl=impl,
-            s=args.swarms,
+            s=s_,
             inertia_mode=inertia_mode,
             init_mode=args.init_mode,
             retry_init_mode=retry_init_mode,
@@ -884,6 +920,9 @@ def main() -> int:
             retry_iterations=args.retry_iterations,
             retry_bucket=args.retry_bucket,
         )
+
+    with trace(args.profile):
+        stats = _run(args.swarms)
     sol_thunk = stats.pop("_sol_thunk", None)
     if args.latency:
         from ikpso_tpu.utils.profiling import measure as _measure
@@ -891,15 +930,27 @@ def main() -> int:
         # The tunnel's fixed per-dispatch cost, measured on a trivial
         # program with varying inputs (identical args are served from
         # the transport cache — CLAUDE.md TPU timing rules): what a
-        # directly-attached host would NOT pay.
+        # directly-attached host would NOT pay. Measured directly, the
+        # S=1280 solve wall is statistically identical to this no-op
+        # dispatch (70.8 vs 73.1 ms on the r3 capture), so the device
+        # share is ALSO estimated from a batch-size slope: wall(64S) -
+        # wall(S) is pure device compute for 63S extra solves
+        # (dispatch and fixed costs cancel), scaled back to the S
+        # batch. 64x puts the slope (~80 ms at the measured 1.06
+        # us/solve marginal rate) far above the tunnel's +-5 ms
+        # jitter; an 8x slope (~9 ms) drowned in it (r3-latency2).
         tiny = jax.jit(lambda x: x + 1.0)
         _progress("measuring dispatch overhead (trivial program)")
         _, dispatch_s = _measure(
             tiny, jnp.zeros((8,), jnp.float32), warmup=2, iters=9,
             vary=lambda i, a: (a[0] + np.float32(i),),
         )
+        _progress("measuring 64x batch for the device-time slope")
+        stats64 = _run(args.swarms * 64)
         stats["dispatch_ms"] = dispatch_s * 1e3
-        stats["device_ms"] = (stats["wall_s"] - dispatch_s) * 1e3
+        stats["device_ms"] = max(
+            0.0, (stats64["wall_s"] - stats["wall_s"]) / 63.0 * 1e3
+        )
     model_tag = args.model.replace(":", "")
     if args.latency:
         # Direct evidence for "<10 ms per PSO run": one batched PSO

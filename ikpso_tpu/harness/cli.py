@@ -415,7 +415,7 @@ def cmd_parity(args) -> int:
     # The reports never state the PSO coefficients; the repository
     # documents exactly two candidate configs (SURVEY.md §2.4.7):
     # the shipped Main.cpp:130 hardcode (0.5/0.5/1.25, 15 iterations)
-    # and the Particle.h:60 struct defaults (0.2/0.5/0.7, 10
+    # and the Particle.h:70-78 struct defaults (0.2/0.5/0.7, 10
     # iterations). `--pso-variant struct` runs the historical-config
     # hypothesis for the iteration-1/2 reports, whose measuring code
     # predates the shipped source.
@@ -544,12 +544,87 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def _follow_updates(stream):
+    """Parse a target-update stream: one update per line.
+
+    Accepted line forms (blank lines and ``#`` comments skipped):
+    a JSON array ``[[x,y,z], ...]`` of E effector targets, or 3*E
+    whitespace-separated floats. This is the wire format for driving
+    ``track --follow`` from a UI, a file tail, or another process —
+    the reference's interactive gizmo drag (Main.cpp:401-453) as a
+    stream.
+    """
+    for line in stream:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("["):
+            arr = np.asarray(json.loads(line), np.float32)
+        else:
+            arr = np.asarray([float(v) for v in line.split()], np.float32)
+        yield arr.reshape(-1, 3)
+
+
 def cmd_track(args) -> int:
     import jax
 
-    from ikpso_tpu.harness.trajectory import circle_paths, track_trajectories
+    from ikpso_tpu.harness.trajectory import (
+        circle_paths,
+        follow_targets,
+        track_trajectories,
+    )
 
     cfg = _load(args)
+    if args.follow is not None:
+        stream = sys.stdin if args.follow == "-" else open(args.follow)
+        try:
+            records = []
+            for rec in follow_targets(
+                cfg.spec,
+                cfg.problem,
+                _follow_updates(stream),
+                jax.random.key(args.seed),
+                pso=cfg.pso,
+                fit=cfg.fitness,
+                obstacles=cfg.obstacles,
+                num_particles=cfg.num_particles,
+                impl=_pick_impl(args, cfg),
+                polish=args.polish,
+                swarms_per_tile=args.swarms_per_tile,
+            ):
+                err = float(rec["effector_error"].max())
+                line = dict(
+                    step=rec["step"],
+                    err=err,
+                    wall_ms=round(rec["wall_ms"], 3),
+                )
+                if "angle_delta_max" in rec:
+                    line["angle_delta_max"] = round(
+                        rec["angle_delta_max"], 6
+                    )
+                print(json.dumps(line), flush=True)
+                records.append(err)
+        finally:
+            if stream is not sys.stdin:
+                stream.close()
+        if not records:
+            print(json.dumps(dict(steps=0)))
+            return 0
+        settle = args.settle if args.settle is not None else min(
+            3, len(records) - 1
+        )
+        ss = np.asarray(records[settle:])
+        print(
+            json.dumps(
+                dict(
+                    steps=len(records),
+                    settle=settle,
+                    err_p50_settled=float(np.percentile(ss, 50)),
+                    err_max_settled=float(ss.max()),
+                )
+            )
+        )
+        return 0
     _clamp_packing(args, args.paths)
     path = circle_paths(
         np.asarray(cfg.problem.targets),
@@ -724,6 +799,15 @@ def main(argv=None) -> int:
     p.add_argument(
         "--timeit", action="store_true",
         help="run twice and report steady-state wall time",
+    )
+    p.add_argument(
+        "--follow", default=None, metavar="FILE|-",
+        help="STREAMING mode: consume target updates line-by-line "
+        "from FILE (or stdin with '-') and re-solve warm per update, "
+        "printing one JSON record per step — the reference's "
+        "interactive target-drag loop (Main.cpp:401-453) fed by a "
+        "pipe instead of a mouse. Line format: JSON [[x,y,z],...] or "
+        "3*E whitespace-separated floats",
     )
     p.set_defaults(fn=cmd_track)
 

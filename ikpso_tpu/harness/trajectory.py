@@ -179,6 +179,88 @@ def track_trajectories(
     )
 
 
+def follow_targets(
+    spec: ChainSpec,
+    problem: IKProblem,
+    updates,
+    key: jnp.ndarray,
+    *,
+    pso: PSOConfig = PSOConfig(),
+    fit: FitnessConfig = FitnessConfig(),
+    obstacles: Optional[Obstacles] = None,
+    num_particles: int = 1024,
+    impl: str = "jnp",
+    polish: int = 0,
+    swarms_per_tile: int = 1,
+):
+    """Streaming re-solve loop over externally-fed target updates.
+
+    The honest analog of the reference's interactive manipulation
+    loop (reference Main.cpp:401-453: the user drags a target gizmo
+    and every frame re-solves from the pose the previous frame
+    produced). Where :func:`track_trajectories` requires the whole
+    path up front (one scan-chained XLA program),
+    this is the ONLINE form: ``updates`` is any iterator of
+    ``(E, 3)`` (or ``(S, E, 3)``) target arrays arriving one at a
+    time — a UI, a file tail, a socket. The solver compiles ONCE
+    (first step); every later step is a single warm-started dispatch
+    re-using the previous solved pose as init and locality anchor,
+    exactly like the scan body.
+
+    Yields one dict per consumed update:
+    ``{step, effector_error, angles, wall_ms}`` (error/angles are
+    numpy, wall is the blocking dispatch time — steady-state after
+    step 0's compile).
+    """
+    import time as _time
+
+    solver = _build_solver(
+        spec, pso, fit, obstacles, num_particles, impl,
+        swarms_per_tile=swarms_per_tile,
+    )
+    if polish:
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        solver = wrap_with_polish(
+            solver, spec, steps=polish,
+            locality_weight=float(np.asarray(fit.angle_weight))
+            / max(1, spec.dof // 3),
+            obstacles=obstacles,
+            collision_backend=fit.collision_backend,
+            collision_shape=fit.collision_shape,
+            gizmo_size=fit.gizmo_size,
+        )
+    base = None
+    pose = None
+    prev_angles = None
+    for step, tgt in enumerate(updates):
+        tgt = jnp.asarray(tgt, jnp.float32)
+        if tgt.ndim == 2:
+            tgt = tgt[None]
+        if base is None:
+            base = batched_problem(problem, tgt)
+            pose = base.pose
+        key, k = jax.random.split(key)
+        t0 = _time.perf_counter()
+        res = solver(base.replace(pose=pose, targets=tgt), k)
+        res = jax.block_until_ready(res)
+        wall = _time.perf_counter() - t0
+        pose = res.pose
+        angles = np.asarray(res.angles)
+        out = dict(
+            step=step,
+            effector_error=np.asarray(res.effector_error),
+            angles=angles,
+            wall_ms=wall * 1e3,
+        )
+        if prev_angles is not None:
+            out["angle_delta_max"] = float(
+                np.abs(angles - prev_angles).max()
+            )
+        prev_angles = angles
+        yield out
+
+
 def circle_paths(
     targets: np.ndarray,
     steps: int,

@@ -36,6 +36,11 @@ class FusedPreset:
     # only the failed bucket pays, so a much deeper retry is cheap —
     # the wrong-basin tail-closing tool (pso/restarts.py).
     retry_iterations: Optional[int] = None
+    # Worst-N bucket per retry round (None = bench default
+    # max(1024, S/16)). Models with a HIGH single-shot failure rate
+    # (the 45-DOF humanoid: ~25-40% before retries) need rounds x
+    # bucket to cover the whole failure set, not just a tail.
+    retry_bucket: Optional[int] = None
     rekick_scale: float = 0.5
     rekick_threshold: float = 1e-6
     # The frontier recipes were all measured with the canonical
@@ -95,6 +100,19 @@ FUSED_PRESETS = {
     # reference re-solves per frame; see harness.experiment) — deep
     # budget kept for kernel-rate evidence.
     "reference_arm": FusedPreset(256, 4, 100, 0, 0, 0),
+    # 45-DOF 5-effector tree: the hardest single-shot basin in the zoo
+    # (two 3-child branch points; random in-limit target sets are
+    # mutually-coupled five-point constraints; the LM polish sticks in
+    # limit/singularity traps from wrong basins, so DIVERSE deep
+    # retries do the closing — measured 100.00% at 8 hybrid rounds of
+    # 120 iterations, /tmp-r3 CPU pilot, confirmed on TPU in
+    # bench_records/r3_sweep.jsonl r3-humanoid). retry_bucket S/8:
+    # the pre-retry failure rate is ~25-40%, so rounds x bucket must
+    # cover the whole failure set. Batch capped like the other deep
+    # chains (polish intermediates scale with S x DOF^2).
+    "humanoid_45dof": FusedPreset(512, 8, 60, 0, 6, 8, "hybrid",
+                                  retry_iterations=120,
+                                  retry_bucket=8192, swarms=65_536),
     # 252.5k @ 100% at 30 DOF (sw/tile 16, out/bench_sweep28.jsonl); 100%
     # holds at every depth measured (160.9k @ 60 DOF, 113.2k @ 90 DOF,
     # out/bench_sweep20.jsonl). 4 it is the floor: 2 it measures the

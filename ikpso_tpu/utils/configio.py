@@ -44,6 +44,7 @@ _MODELS = {
     "arm_7dof": library.arm_7dof,
     "dual_arm_14dof": library.dual_arm_14dof,
     "snake_30dof": library.snake_30dof,
+    "humanoid_45dof": library.humanoid_45dof,
 }
 
 
