@@ -418,28 +418,69 @@ def _build_solver_kernel(
                 0, outer, body, (x0, v0, x0, lbest_val0)
             )
 
-        gvals, gb = gbest_tiles(lbest, lbest_val)
         # Result rows per swarm: the flattened [gbest angles..., gbest
         # value] vector packed into ceil((D+1)/LANES) rows of LANES
         # lanes each (one row when D < 128 — deeper chains get more
         # rows instead of a dof cap).
         rows_out = (d + 1 + LANES - 1) // LANES
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        out_rows = []
-        for j in range(sw_count):
-            for r in range(rows_out):
-                lo_d = r * LANES
-                hi_d = min(d, (r + 1) * LANES)
-                if lo_d <= d < (r + 1) * LANES:
-                    acc = jnp.where(lane == d - lo_d, gvals[j], 0.0)
-                else:
-                    acc = jnp.zeros((1, LANES), jnp.float32)
-                for dd in range(lo_d, hi_d):
-                    acc = jnp.where(
-                        lane == dd - lo_d, gb[dd * R + j * rows, 0], acc
+        if use_rolls and rows_out == 1:
+            # Vectorized extraction: the scalar path below issues
+            # d x sw_count sequential full-slab masked reductions —
+            # measured ~300 ms of the S=1M headline batch (~36 us per
+            # grid step, r3 stage bisection), dwarfing the 8-iteration
+            # PSO loop itself. Instead: take the roll-tree broadcast
+            # tiles (every band row already holds its swarm's gbest
+            # coordinate / band min), one-hot-mask lane dd into the
+            # dd-th coordinate slab, and fold the d slabs with a
+            # log2(d) slab tree — a transpose of (d, swarms) realized
+            # as full-tile adds of exact one-nonzero terms, so the
+            # result is bit-identical to the scalar path.
+            gb_bc = gbest_broadcast(lbest, lbest_val)  # (d*R, LANES)
+            mcol = jnp.min(lbest_val, axis=1, keepdims=True)
+            m_bc = _seg_rows_reduce(
+                jnp.broadcast_to(mcol, tile), rows, jnp.minimum
+            )  # (R, LANES): band min everywhere
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (d * R, LANES), 1)
+            row_f = jax.lax.broadcasted_iota(jnp.int32, (d * R, LANES), 0)
+            acc = jnp.where(lane_f == row_f // R, gb_bc, 0.0)
+            n = d
+            while n > 1:
+                h = n // 2
+                folded = acc[: h * R] + acc[h * R : 2 * h * R]
+                if n & 1:
+                    acc = jnp.concatenate(
+                        [folded, acc[2 * h * R : (2 * h + 1) * R]], axis=0
                     )
-                out_rows.append(acc)
-        out_ref[0] = jnp.concatenate(out_rows, axis=0)
+                else:
+                    acc = folded
+                n = h + (n & 1)
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            packed = jnp.where(lane_r == d, m_bc, acc)  # (R, LANES)
+            if rows == 1:
+                out_ref[0] = packed
+            else:
+                out_ref[0] = jnp.concatenate(
+                    [packed[j * rows : j * rows + 1] for j in range(sw_count)],
+                    axis=0,
+                )
+        else:
+            gvals, gb = gbest_tiles(lbest, lbest_val)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            out_rows = []
+            for j in range(sw_count):
+                for r in range(rows_out):
+                    lo_d = r * LANES
+                    hi_d = min(d, (r + 1) * LANES)
+                    if lo_d <= d < (r + 1) * LANES:
+                        acc = jnp.where(lane == d - lo_d, gvals[j], 0.0)
+                    else:
+                        acc = jnp.zeros((1, LANES), jnp.float32)
+                    for dd in range(lo_d, hi_d):
+                        acc = jnp.where(
+                            lane == dd - lo_d, gb[dd * R + j * rows, 0], acc
+                        )
+                    out_rows.append(acc)
+            out_ref[0] = jnp.concatenate(out_rows, axis=0)
 
     return kernel
 
