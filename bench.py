@@ -129,12 +129,27 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         chain_collides = get_chain_collider("sat", collision_shape)
         pos, rot = fk_ops.fk(spec, rand_pose, problem.origin)
         parent_pos = pos[..., list(spec.parent[1:]), :]
-        hit = chain_collides(
-            pos[..., 1:, :], rot[..., 1:, :, :], parent_pos,
-            spec.length[1:], obstacles.center, obstacles.half_extent,
-            obstacles.rot,
+        # Chunked: the box-SAT einsum's tiny minor dims pad ~50x on
+        # TPU (measured 5.9 GB of HLO temp at S=1M — OOM), so the
+        # scoring-only feasibility pass runs in fixed-size slices.
+        hit_fn = jax.jit(
+            lambda p, r, pp: chain_collides(
+                p, r, pp, spec.length[1:], obstacles.center,
+                obstacles.half_extent, obstacles.rot,
+            )
         )
-        feasible = ~np.asarray(hit)
+        chunk = 65536
+        hits = [
+            np.asarray(
+                hit_fn(
+                    pos[i:i + chunk, 1:, :],
+                    rot[i:i + chunk, 1:, :, :],
+                    parent_pos[i:i + chunk],
+                )
+            )
+            for i in range(0, s, chunk)
+        ]
+        feasible = ~np.concatenate(hits) if len(hits) > 1 else ~hits[0]
 
     rk = dict(rekick_interval=rekick_interval, rekick_scale=rekick_scale,
               rekick_threshold=rekick_threshold, init_mode=init_mode)

@@ -430,16 +430,42 @@ def wrap_with_polish(
             take = err <= base.effector_error
         if obstacles is not None:
             pos, rot = fk_ops.fk(spec, pose, problem.origin)
-            hit = _collides(
-                pos[..., 1:, :],
-                rot[..., 1:, :, :],
-                pos[..., list(spec.parent[1:]), :],
-                spec.length[1:],
-                obstacles.center,
-                obstacles.half_extent,
-                obstacles.rot,
-                gizmo_size=gizmo_size,
-            )
+            parent_pos = pos[..., list(spec.parent[1:]), :]
+
+            def _hit(args):
+                p, r, pp = args
+                return _collides(
+                    p, r, pp, spec.length[1:], obstacles.center,
+                    obstacles.half_extent, obstacles.rot,
+                    gizmo_size=gizmo_size,
+                )
+
+            # Chunked over swarms: the SAT test's (…, 3, 3) / (…, 3)
+            # temporaries pad ~15-50x under TPU tiling (measured
+            # 17.35 GB of HLO temp at S=1M — OOM when two polished
+            # solver variants share one program). lax.map bounds the
+            # live padded temps to one chunk; the gate is a tiny
+            # fraction of the solve, so the serialization is noise.
+            n = pos.shape[0]
+            chunk = 65536
+            if n > chunk and n % chunk == 0:
+                k = n // chunk
+                hit = jax.lax.map(
+                    _hit,
+                    (
+                        pos[:, 1:, :].reshape(
+                            (k, chunk, pos.shape[1] - 1, 3)
+                        ),
+                        rot[:, 1:, :, :].reshape(
+                            (k, chunk, rot.shape[1] - 1, 3, 3)
+                        ),
+                        parent_pos.reshape(
+                            (k, chunk, parent_pos.shape[1], 3)
+                        ),
+                    ),
+                ).reshape(n)
+            else:
+                hit = _hit((pos[..., 1:, :], rot[..., 1:, :, :], parent_pos))
             take = take & ~hit
         return dataclasses.replace(
             base,

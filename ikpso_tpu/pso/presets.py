@@ -60,7 +60,8 @@ class FusedPreset:
 
 
 FUSED_PRESETS = {
-    # 997.4k solves/s @ 100.00% <1mm (r3): with retries in place 8 PSO
+    # 1.349M solves/s @ 100.00% <1mm (r3, post extraction-fix —
+    # pso/fused.py vectorized output packing): with retries in place 8 PSO
     # iterations find the basin, 4 LM steps finish, and 4 retry rounds
     # erase the tail; the re-kick is dead weight at this depth. Tile
     # packing: at the S=1M batch frontier 128 swarms per tile beats
