@@ -450,15 +450,25 @@ def _pack_swarm(
     spec: ChainSpec, problem: IKProblem, anchor_angles, anchor_positions,
     use_orientation: bool = False,
 ) -> jnp.ndarray:
-    """(S, K) per-swarm constant vector (see kernel layout comment)."""
+    """(S, K) per-swarm constant vector (see kernel layout comment).
+
+    ``anchor_positions`` may be the tensor ``(S, N, 3)`` FK or the
+    already-flat ``(S, 3*(N-1))`` non-root block
+    (pso.polish_soa.anchor_positions_flat — the padding-free path).
+    """
     root_r = euler_xyz_to_matrix(problem.pose[..., 0, :])  # (S, 3, 3)
     s = root_r.shape[0]
+    ap = (
+        anchor_positions[:, 1:].reshape(s, -1)
+        if anchor_positions.ndim == 3
+        else anchor_positions
+    )
     parts = [
         root_r.reshape(s, 9),
         jnp.broadcast_to(problem.origin, (s, 3)),
         anchor_angles,
         problem.targets.reshape(s, -1),
-        anchor_positions[:, 1:].reshape(s, -1),
+        ap,
     ]
     if use_orientation:
         if problem.target_rot is None:

@@ -641,11 +641,21 @@ def make_fused_solver(
 
     @jax.jit
     def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
+        # Pack and post-error run through the SoA row FK (swarms on
+        # the lane axis): the tensor FK's (S, N, 3)/(S, 3, 3)
+        # intermediates pad ~40x under TPU tiling and cost ~145 ms of
+        # HBM traffic per S=1M batch (r3 stage bisection — ~20% of
+        # the headline wall for math worth a few ms).
+        from ikpso_tpu.pso.polish_soa import (
+            anchor_positions_flat,
+            true_effector_error_rows,
+        )
+
         use_orientation = use_orientation_w and problem.target_rot is not None
         meta = _pack_meta(spec, fit, obstacles, use_orientation)
         anchor_angles = fk_ops.pose_to_angles(spec, problem.pose)
-        anchor_positions = fk_ops.fk_points(spec, problem.pose, problem.origin)
-        swarm = _pack_swarm(spec, problem, anchor_angles, anchor_positions,
+        swarm = _pack_swarm(spec, problem, anchor_angles,
+                            anchor_positions_flat(spec, problem),
                             use_orientation)
         s = swarm.shape[0]
         seeds = jax.random.bits(key, (s, 2), dtype=jnp.uint32).astype(jnp.int32)
@@ -655,7 +665,7 @@ def make_fused_solver(
             use_orientation=use_orientation, swarms_per_tile=swarms_per_tile,
         )
         solved_pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], gbest)
-        err = true_effector_error(spec, solved_pose, problem)
+        err = true_effector_error_rows(spec, problem, gbest)
         return SolveResult(
             angles=gbest,
             fitness=gbest_val,

@@ -417,7 +417,12 @@ def wrap_with_polish(
             locality_weight=locality_weight,
         )
         pose = fk_ops.angles_to_pose(spec, problem.pose[..., 0, :], x)
-        err = true_effector_error(spec, pose, problem)
+        # Row-FK metric: same value as true_effector_error to float
+        # rounding, without the (S, N, 3) tensor-FK padding (~40x HBM
+        # inflation at S=1M — see polish_soa.true_effector_error_rows).
+        from ikpso_tpu.pso.polish_soa import true_effector_error_rows
+
+        err = true_effector_error_rows(spec, problem, x)
         if locality_weight:
             cost = lambda a: residual_cost(  # noqa: E731
                 spec, problem, a,

@@ -411,3 +411,55 @@ def polish_angles_soa(
 
     (xs, _), _ = jax.lax.scan(lm_step, (xT, lam0), None, length=steps)
     return jnp.moveaxis(xs, 0, -1)
+
+
+def true_effector_error_rows(spec: ChainSpec, problem, angles) -> jnp.ndarray:
+    """``(S,)`` sum of Euclidean effector distances, in row layout.
+
+    Same metric as ``ops.fitness.true_effector_error`` (the reference's
+    ``checkDistance`` ground truth, Main.cpp:290-298) computed through
+    the SoA row FK: every intermediate is an ``(S,)`` array with
+    swarms on the TPU lane axis. The tensor path's ``(S, N, 3)`` /
+    ``(S, 3, 3)`` intermediates pad ~40x under TPU tiling — at S=1M
+    the padded HBM traffic alone cost ~75 ms per batch (measured r3);
+    this layout removes it. Equal to the tensor oracle to float
+    rounding (exact f32 composes in both; summation order differs by
+    last-ulp) — tests/test_polish.py covers the row-FK equivalence.
+    """
+    d = angles.shape[-1]
+    ang_t = jnp.swapaxes(angles, -1, -2) if angles.ndim > 2 else angles.T
+    ang_rows = [ang_t[k] for k in range(d)]
+    root = problem.pose[..., 0, :]
+    root_rows = [root[..., c] for c in range(3)]
+    origin_rows = [problem.origin[..., c] for c in range(3)]
+    pos, _, _ = _fk_rows(spec, ang_rows, root_rows, origin_rows)
+    err = None
+    for ei, node in enumerate(spec.effector_idx):
+        s2 = None
+        for c in range(3):
+            dc = pos[node][c] - problem.targets[..., ei, c]
+            s2 = dc * dc if s2 is None else s2 + dc * dc
+        e = jnp.sqrt(s2)
+        err = e if err is None else err + e
+    return err
+
+
+def anchor_positions_flat(spec: ChainSpec, problem) -> jnp.ndarray:
+    """``(S, 3*(N-1))`` non-root node positions of the problem's pose.
+
+    The megakernel's per-swarm constant pack wants the anchor FK as a
+    flat row block (ops/pallas_fitness._pack_swarm); computing it
+    through the row FK keeps swarms on the lane axis instead of
+    paying the ``(S, N, 3)`` tensor-FK padding (see
+    :func:`true_effector_error_rows`).
+    """
+    n = spec.num_nodes
+    ang_rows = [
+        problem.pose[..., k, c] for k in range(1, n) for c in range(3)
+    ]
+    root_rows = [problem.pose[..., 0, c] for c in range(3)]
+    origin_rows = [problem.origin[..., c] for c in range(3)]
+    pos, _, _ = _fk_rows(spec, ang_rows, root_rows, origin_rows)
+    return jnp.stack(
+        [pos[k][c] for k in range(1, n) for c in range(3)], axis=-1
+    )
