@@ -413,6 +413,24 @@ def polish_angles_soa(
     return jnp.moveaxis(xs, 0, -1)
 
 
+# XLA fuses the row FK's many (S,)-shaped cos/sin/compose arrays into
+# single loop fusions whose stack scratch scales with live rows x S;
+# the 42-DOF dual arm at S=262144 overflowed the 16 MB scoped-VMEM
+# limit (18.21M, "should not be possible — file a bug against XLA").
+# Chunking via lax.map bounds every fusion to _ROW_CHUNK swarms; the
+# loop overhead is noise at these sizes.
+_ROW_CHUNK = 65536
+
+
+def _chunked_rows(core, args, s, out_trailing=()):
+    if s <= _ROW_CHUNK or s % _ROW_CHUNK:
+        return core(args)
+    k = s // _ROW_CHUNK
+    args = tuple(x.reshape((k, _ROW_CHUNK) + x.shape[1:]) for x in args)
+    out = jax.lax.map(core, args)
+    return out.reshape((s,) + out_trailing)
+
+
 def true_effector_error_rows(spec: ChainSpec, problem, angles) -> jnp.ndarray:
     """``(S,)`` sum of Euclidean effector distances, in row layout.
 
@@ -427,21 +445,31 @@ def true_effector_error_rows(spec: ChainSpec, problem, angles) -> jnp.ndarray:
     last-ulp) — tests/test_polish.py covers the row-FK equivalence.
     """
     d = angles.shape[-1]
-    ang_t = jnp.swapaxes(angles, -1, -2) if angles.ndim > 2 else angles.T
-    ang_rows = [ang_t[k] for k in range(d)]
-    root = problem.pose[..., 0, :]
-    root_rows = [root[..., c] for c in range(3)]
-    origin_rows = [problem.origin[..., c] for c in range(3)]
-    pos, _, _ = _fk_rows(spec, ang_rows, root_rows, origin_rows)
-    err = None
-    for ei, node in enumerate(spec.effector_idx):
-        s2 = None
-        for c in range(3):
-            dc = pos[node][c] - problem.targets[..., ei, c]
-            s2 = dc * dc if s2 is None else s2 + dc * dc
-        e = jnp.sqrt(s2)
-        err = e if err is None else err + e
-    return err
+
+    def core(args):
+        pose, origin, targets, ang = args
+        ang_rows = [ang[..., k] for k in range(d)]
+        root = pose[..., 0, :]
+        root_rows = [root[..., c] for c in range(3)]
+        origin_rows = [origin[..., c] for c in range(3)]
+        pos, _, _ = _fk_rows(spec, ang_rows, root_rows, origin_rows)
+        err = None
+        for ei, node in enumerate(spec.effector_idx):
+            s2 = None
+            for c in range(3):
+                dc = pos[node][c] - targets[..., ei, c]
+                s2 = dc * dc if s2 is None else s2 + dc * dc
+            e = jnp.sqrt(s2)
+            err = e if err is None else err + e
+        return err
+
+    s = angles.shape[0]
+    origin = jnp.broadcast_to(problem.origin, angles.shape[:-1] + (3,))
+    if angles.ndim != 2:
+        return core((problem.pose, origin, problem.targets, angles))
+    return _chunked_rows(
+        core, (problem.pose, origin, problem.targets, angles), s
+    )
 
 
 def anchor_positions_flat(spec: ChainSpec, problem) -> jnp.ndarray:
@@ -454,12 +482,23 @@ def anchor_positions_flat(spec: ChainSpec, problem) -> jnp.ndarray:
     :func:`true_effector_error_rows`).
     """
     n = spec.num_nodes
-    ang_rows = [
-        problem.pose[..., k, c] for k in range(1, n) for c in range(3)
-    ]
-    root_rows = [problem.pose[..., 0, c] for c in range(3)]
-    origin_rows = [problem.origin[..., c] for c in range(3)]
-    pos, _, _ = _fk_rows(spec, ang_rows, root_rows, origin_rows)
-    return jnp.stack(
-        [pos[k][c] for k in range(1, n) for c in range(3)], axis=-1
+
+    def core(args):
+        pose, origin = args
+        ang_rows = [
+            pose[..., k, c] for k in range(1, n) for c in range(3)
+        ]
+        root_rows = [pose[..., 0, c] for c in range(3)]
+        origin_rows = [origin[..., c] for c in range(3)]
+        pos, _, _ = _fk_rows(spec, ang_rows, root_rows, origin_rows)
+        return jnp.stack(
+            [pos[k][c] for k in range(1, n) for c in range(3)], axis=-1
+        )
+
+    s = problem.pose.shape[0]
+    origin = jnp.broadcast_to(problem.origin, (s, 3))
+    if problem.pose.ndim != 3:
+        return core((problem.pose, origin))
+    return _chunked_rows(
+        core, (problem.pose, origin), s, out_trailing=(3 * (n - 1),)
     )
