@@ -60,7 +60,7 @@ class FusedPreset:
 
 
 FUSED_PRESETS = {
-    # 1.349M solves/s @ 100.00% <1mm (r3, post extraction-fix —
+    # 2.04M solves/s @ 100.00% <1mm (r3: vectorized extraction + row-FK pack/error —
     # pso/fused.py vectorized output packing): with retries in place 8 PSO
     # iterations find the basin, 4 LM steps finish, and 4 retry rounds
     # erase the tail; the re-kick is dead weight at this depth. Tile
