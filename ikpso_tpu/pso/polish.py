@@ -229,12 +229,14 @@ def polish_angles(
     # The SoA core unrolls the m-row Jacobian and the (m, m) normal
     # system into scalar (S,) ops — graph size grows ~ m^2 * D, and
     # tracing a WIDE multi-effector model explodes (measured: the
-    # 45-DOF 5-effector humanoid, m=15, >22 GB of tracer state and
-    # >9 min without finishing; the 90-DOF single-effector snake,
-    # m=3, traces fine). Route wide models to the tensor path below
-    # (dual-form (m, m) solve — small and quick to compile).
+    # 45-DOF 5-effector humanoid, m=15 -> m^2*D = 10125, >22 GB of
+    # tracer state and >9 min without finishing; the 150-DOF
+    # single-effector snake, m=3 -> m^2*D = 1350, traces in seconds
+    # AND must stay SoA — routing it to the tensor path measured a
+    # 3.2x end-to-end regression at bench scale, r3-rowfk snake:50).
+    # Gate on m^2*D, the actual trace-size driver.
     e_rows = 3 * len(spec.effector_idx) * (2 if use_orientation else 1)
-    if soa and e_rows * angles.shape[-1] <= 400:
+    if soa and e_rows * e_rows * angles.shape[-1] <= 4000:
         # Fast path: the residual (position, optional orientation and
         # locality rows) has a fully-unrolled structure-of-arrays
         # implementation where swarms occupy the TPU lane axis
