@@ -416,17 +416,25 @@ def polish_angles_soa(
 # XLA fuses the row FK's many (S,)-shaped cos/sin/compose arrays into
 # single loop fusions whose stack scratch scales with live rows x S;
 # the 42-DOF dual arm at S=262144 overflowed the 16 MB scoped-VMEM
-# limit (18.21M, "should not be possible — file a bug against XLA").
-# Chunking via lax.map bounds every fusion to _ROW_CHUNK swarms; the
-# loop overhead is noise at these sizes.
-_ROW_CHUNK = 65536
+# limit (18.21M, "should not be possible — file a bug against XLA"),
+# and an UNCHUNKED 150-DOF row FK at S=65536 ran 3x slower than the
+# whole r2 solve it replaced (register/VMEM spill territory). The
+# chunk scales inversely with DOF so live-rows x chunk stays roughly
+# constant; lax.map's loop overhead is noise at these sizes.
+def _row_chunk(d: int) -> int:
+    if d <= 64:
+        return 65536
+    if d <= 160:
+        return 16384
+    return 8192
 
 
-def _chunked_rows(core, args, s, out_trailing=()):
-    if s <= _ROW_CHUNK or s % _ROW_CHUNK:
+def _chunked_rows(core, args, s, d, out_trailing=()):
+    chunk = _row_chunk(d)
+    if s <= chunk or s % chunk:
         return core(args)
-    k = s // _ROW_CHUNK
-    args = tuple(x.reshape((k, _ROW_CHUNK) + x.shape[1:]) for x in args)
+    k = s // chunk
+    args = tuple(x.reshape((k, chunk) + x.shape[1:]) for x in args)
     out = jax.lax.map(core, args)
     return out.reshape((s,) + out_trailing)
 
@@ -468,7 +476,7 @@ def true_effector_error_rows(spec: ChainSpec, problem, angles) -> jnp.ndarray:
     if angles.ndim != 2:
         return core((problem.pose, origin, problem.targets, angles))
     return _chunked_rows(
-        core, (problem.pose, origin, problem.targets, angles), s
+        core, (problem.pose, origin, problem.targets, angles), s, d
     )
 
 
@@ -500,5 +508,6 @@ def anchor_positions_flat(spec: ChainSpec, problem) -> jnp.ndarray:
     if problem.pose.ndim != 3:
         return core((problem.pose, origin))
     return _chunked_rows(
-        core, (problem.pose, origin), s, out_trailing=(3 * (n - 1),)
+        core, (problem.pose, origin), s, 3 * (n - 1),
+        out_trailing=(3 * (n - 1),),
     )
