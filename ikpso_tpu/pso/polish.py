@@ -187,6 +187,25 @@ def residual_cost(
     return jnp.sum(r * r, axis=-1)
 
 
+def soa_traceable(spec: ChainSpec, d: int, use_orientation: bool) -> bool:
+    """Whether the SoA LM core is safe to trace for this model.
+
+    The SoA core unrolls the m-row Jacobian and the (m, m) normal
+    system into scalar (S,) ops — graph size grows ~ m^2 * D, and
+    tracing a WIDE multi-effector model explodes (measured: the
+    45-DOF 5-effector humanoid, m=15 -> m^2*D = 10125, >22 GB of
+    tracer state and >9 min without finishing; the 150-DOF
+    single-effector snake, m=3 -> m^2*D = 1350, traces in seconds AND
+    must stay SoA — routing it to the tensor path measured a 3.2x
+    end-to-end regression at bench scale, r3-rowfk snake:50). Gate on
+    m^2*D, the actual trace-size driver; models over the threshold
+    use the tensor path (dual-form (m, m) solve — small and quick to
+    compile). Guarded by tests/test_polish.py's routing test.
+    """
+    e_rows = 3 * len(spec.effector_idx) * (2 if use_orientation else 1)
+    return e_rows * e_rows * d <= 4000
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -226,17 +245,7 @@ def polish_angles(
       ``(S, D)`` refined angles, clipped to joint limits; each swarm's
       residual norm is non-increasing (rejected steps keep ``x``).
     """
-    # The SoA core unrolls the m-row Jacobian and the (m, m) normal
-    # system into scalar (S,) ops — graph size grows ~ m^2 * D, and
-    # tracing a WIDE multi-effector model explodes (measured: the
-    # 45-DOF 5-effector humanoid, m=15 -> m^2*D = 10125, >22 GB of
-    # tracer state and >9 min without finishing; the 150-DOF
-    # single-effector snake, m=3 -> m^2*D = 1350, traces in seconds
-    # AND must stay SoA — routing it to the tensor path measured a
-    # 3.2x end-to-end regression at bench scale, r3-rowfk snake:50).
-    # Gate on m^2*D, the actual trace-size driver.
-    e_rows = 3 * len(spec.effector_idx) * (2 if use_orientation else 1)
-    if soa and e_rows * e_rows * angles.shape[-1] <= 4000:
+    if soa and soa_traceable(spec, angles.shape[-1], use_orientation):
         # Fast path: the residual (position, optional orientation and
         # locality rows) has a fully-unrolled structure-of-arrays
         # implementation where swarms occupy the TPU lane axis

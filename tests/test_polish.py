@@ -383,3 +383,27 @@ def test_soa_orientation_matches_general_path():
     geo = np.degrees(np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0)))
     assert np.percentile(perr, 50) < 1e-4
     assert np.percentile(geo.max(axis=-1), 50) < 0.1
+
+
+def test_soa_routing_gate():
+    # Every zoo model must land on the measured-correct LM path:
+    # snakes at ANY depth stay SoA (routing snake:50 to the tensor
+    # path measured a 3.2x bench regression, r3), while the wide
+    # multi-effector humanoid must NOT trace the SoA core (>22 GB of
+    # tracer state). Pins the m^2*D gate against future re-tuning.
+    from ikpso_tpu.models import library
+    from ikpso_tpu.pso.polish import soa_traceable
+
+    for name, orient, want_soa in [
+        ("arm_7dof", False, True),
+        ("planar_3dof", False, True),
+        ("arm_6dof", True, True),
+        ("dual_arm_14dof", False, True),
+        ("reference_arm", False, True),
+        ("humanoid_45dof", False, False),
+    ]:
+        spec, _ = getattr(library, name)()
+        assert soa_traceable(spec, spec.dof, orient) == want_soa, name
+    for links in (30, 50, 100):
+        spec, _ = library.snake(links)
+        assert soa_traceable(spec, spec.dof, False), f"snake:{links}"
