@@ -540,8 +540,8 @@ def _kernel_sol_frac(spec, batched, key, pso, fit, *, num_particles,
                      swarms_per_tile, obstacles, orientation, s):
     """Speed-of-light fraction of the bare FK+fitness+PSO kernel.
 
-    Times the fused solver (no polish, no retries) at I and 2I
-    iterations; the difference isolates exactly I iterations of the
+    Times the fused solver (no polish, no retries) at I and 3I
+    iterations; half the difference isolates exactly I iterations of the
     PSO loop — init, dispatch, and result extraction cancel. The
     counted ops of those iterations (utils.flops) divided by the
     microbenchmarked per-class VPU peaks (utils.roofline) give the

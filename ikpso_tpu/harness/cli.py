@@ -576,6 +576,10 @@ def cmd_track(args) -> int:
 
     cfg = _load(args)
     if args.follow is not None:
+        # Streaming solves are batch-1 per update: a preset's tile
+        # packing (e.g. arm_7dof's 128 swarms/tile) must clamp to the
+        # batch or the fused kernel rejects the divisibility.
+        _clamp_packing(args, 1)
         stream = sys.stdin if args.follow == "-" else open(args.follow)
         try:
             records = []

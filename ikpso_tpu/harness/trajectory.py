@@ -244,6 +244,10 @@ def follow_targets(
         t0 = _time.perf_counter()
         res = solver(base.replace(pose=pose, targets=tgt), k)
         res = jax.block_until_ready(res)
+        # block_until_ready can return at ENQUEUE over the axon
+        # tunnel (CLAUDE.md TPU timing rules); a one-element host
+        # fetch provably waits for execution before the clock stops.
+        np.asarray(res.effector_error.ravel()[0:1])
         wall = _time.perf_counter() - t0
         pose = res.pose
         angles = np.asarray(res.angles)

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ikpso_tpu.models.chain import ChainSpec, IKProblem, Obstacles
 from ikpso_tpu.ops import fk as fk_ops
-from ikpso_tpu.ops.fitness import FitnessConfig, true_effector_error
+from ikpso_tpu.ops.fitness import FitnessConfig
 from ikpso_tpu.ops.pallas_fitness import (
     LANES,
     _pack_meta,

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 
 from ikpso_tpu.models.chain import ChainSpec, IKProblem
 from ikpso_tpu.ops import fk as fk_ops
-from ikpso_tpu.ops.fitness import true_effector_error
 from ikpso_tpu.ops.jacobian import fk_with_jacobian
 from ikpso_tpu.ops.rotations import euler_xyz_to_matrix
 
@@ -198,11 +197,17 @@ def soa_traceable(spec: ChainSpec, d: int, use_orientation: bool) -> bool:
     single-effector snake, m=3 -> m^2*D = 1350, traces in seconds AND
     must stay SoA — routing it to the tensor path measured a 3.2x
     end-to-end regression at bench scale, r3-rowfk snake:50). Gate on
-    m^2*D, the actual trace-size driver; models over the threshold
-    use the tensor path (dual-form (m, m) solve — small and quick to
+    m^2*D, the actual trace-size driver, with a carve-out keeping
+    FEW-effector chains (m <= 9, i.e. <= 3 position effectors) SoA to
+    512 DOF — a bare m^2*D cap would tip snakes past ~148 links onto
+    the slow tensor path while their trace size is still far under
+    the humanoid blow-up point. Models over both limits use the
+    tensor path (dual-form (m, m) solve — small and quick to
     compile). Guarded by tests/test_polish.py's routing test.
     """
     e_rows = 3 * len(spec.effector_idx) * (2 if use_orientation else 1)
+    if e_rows <= 9 and d <= 512:
+        return True
     return e_rows * e_rows * d <= 4000
 
 
@@ -459,29 +464,17 @@ def wrap_with_polish(
             # Chunked over swarms: the SAT test's (…, 3, 3) / (…, 3)
             # temporaries pad ~15-50x under TPU tiling (measured
             # 17.35 GB of HLO temp at S=1M — OOM when two polished
-            # solver variants share one program). lax.map bounds the
-            # live padded temps to one chunk; the gate is a tiny
-            # fraction of the solve, so the serialization is noise.
-            n = pos.shape[0]
-            chunk = 65536
-            if n > chunk and n % chunk == 0:
-                k = n // chunk
-                hit = jax.lax.map(
-                    _hit,
-                    (
-                        pos[:, 1:, :].reshape(
-                            (k, chunk, pos.shape[1] - 1, 3)
-                        ),
-                        rot[:, 1:, :, :].reshape(
-                            (k, chunk, rot.shape[1] - 1, 3, 3)
-                        ),
-                        parent_pos.reshape(
-                            (k, chunk, parent_pos.shape[1], 3)
-                        ),
-                    ),
-                ).reshape(n)
-            else:
-                hit = _hit((pos[..., 1:, :], rot[..., 1:, :, :], parent_pos))
+            # solver variants share one program). The shared chunker
+            # bounds the live padded temps (remainder-safe); the gate
+            # is a tiny fraction of the solve, so the serialization
+            # is noise.
+            from ikpso_tpu.pso.polish_soa import _chunked_rows
+
+            hit = _chunked_rows(
+                _hit,
+                (pos[:, 1:, :], rot[:, 1:, :, :], parent_pos),
+                pos.shape[0], 0, chunk=65536,
+            )
             take = take & ~hit
         return dataclasses.replace(
             base,

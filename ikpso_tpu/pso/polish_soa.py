@@ -429,14 +429,27 @@ def _row_chunk(d: int) -> int:
     return 8192
 
 
-def _chunked_rows(core, args, s, d, out_trailing=()):
-    chunk = _row_chunk(d)
-    if s <= chunk or s % chunk:
+def _chunked_rows(core, args, s, d, out_trailing=(), chunk=None):
+    """Apply ``core`` over ``args`` in fixed-size swarm chunks.
+
+    Non-multiple batch sizes run k full chunks through ``lax.map``
+    plus one remainder call (an early version silently fell back to
+    the fully-unchunked path for them — reintroducing the very OOMs
+    the chunking exists to prevent). Shared by the row-FK helpers and
+    wrap_with_polish's collision gate.
+    """
+    chunk = chunk or _row_chunk(d)
+    if s <= chunk:
         return core(args)
-    k = s // chunk
-    args = tuple(x.reshape((k, chunk) + x.shape[1:]) for x in args)
-    out = jax.lax.map(core, args)
-    return out.reshape((s,) + out_trailing)
+    k, rem = divmod(s, chunk)
+    head = tuple(
+        x[: k * chunk].reshape((k, chunk) + x.shape[1:]) for x in args
+    )
+    out = jax.lax.map(core, head).reshape((k * chunk,) + out_trailing)
+    if rem:
+        tail = core(tuple(x[k * chunk :] for x in args))
+        out = jnp.concatenate([out, tail], axis=0)
+    return out
 
 
 def true_effector_error_rows(spec: ChainSpec, problem, angles) -> jnp.ndarray:

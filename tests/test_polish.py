@@ -404,6 +404,6 @@ def test_soa_routing_gate():
     ]:
         spec, _ = getattr(library, name)()
         assert soa_traceable(spec, spec.dof, orient) == want_soa, name
-    for links in (30, 50, 100):
+    for links in (30, 50, 100, 150, 170):
         spec, _ = library.snake(links)
         assert soa_traceable(spec, spec.dof, False), f"snake:{links}"
