@@ -80,7 +80,8 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           rekick_threshold=-1.0, obstacles=None, polish=0,
                           collision_shape="box", fk_impl="unrolled",
                           kernel_sol=False, retry_iterations=None,
-                          retry_bucket=None):
+                          retry_bucket=None, chained_runs=0,
+                          retry_walk=0, walk=0):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -206,6 +207,15 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                 collision_shape=fit.collision_shape,
                 gizmo_size=fit.gizmo_size,
             )
+        if walk:
+            # BASE protocol = W-step warm target walk (the reference's
+            # own per-frame loop batched): each solve interpolates the
+            # targets from the warm pose to the goal, re-solving warm
+            # per step — the production recipe for far targets on deep
+            # trees (45-DOF humanoid; docs/PERFORMANCE.md r3).
+            from ikpso_tpu.pso.restarts import wrap_solver_with_target_walk
+
+            sv = wrap_solver_with_target_walk(sv, spec, walk)
         return sv
 
     from ikpso_tpu.pso.restarts import wrap_with_topk_retries
@@ -219,6 +229,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         retry_init_mode=retry_init_mode,
         retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
+        spec=spec, retry_walk_steps=retry_walk,
     )
     # Distinct key per timed call: repeat dispatches of identical
     # args are cache-served by the tunnel transport (~0 ms walls),
@@ -256,6 +267,46 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         gflops=count.flops / wall / 1e9,
         gtranscendentals=count.transcendentals / wall / 1e9,
     )
+    if chained_runs:
+        # DIRECT device-latency protocol (VERDICT r3 #5): K back-to-back
+        # full solver runs (base + polish + retries, static targets,
+        # per-run fresh RNG keys) chained in ONE jitted lax.scan — the
+        # track_trajectories pattern minus the pose chaining, so every
+        # run repeats the exact measured single-shot program. wall/K is
+        # ms-per-run with the tunnel dispatch amortized by construction:
+        # no slope arithmetic, no dispatch subtraction. (The scan body
+        # traces the solver once, so compile cost matches one solve.)
+        def _chained():
+            k = chained_runs
+
+            @jax.jit
+            def run_k(problem, key):
+                keys = jax.random.split(key, k)
+
+                def body(carry, kk):
+                    r = solver(problem, kk)
+                    return carry + r.effector_error.sum(), (
+                        r.effector_error.min(),
+                        r.effector_error.max(),
+                    )
+
+                return jax.lax.scan(body, jnp.float32(0.0), keys)
+
+            _progress(
+                f"measuring {k}-chained latency program (one compile, "
+                "dispatch amortized over the chain)"
+            )
+            _, wall = measure(
+                run_k, batched, key_s, warmup=1, iters=5,
+                vary=lambda i, a: (a[0], jax.random.fold_in(a[1], 500 + i)),
+            )
+            return dict(
+                chained_runs=k,
+                chained_wall_s=wall,
+                chained_ms_per_run=wall / k * 1e3,
+            )
+
+        out["_chained_thunk"] = _chained
     if impl == "fused" and kernel_sol:
         # Deferred: the sol slope compiles two EXTRA fused-solver
         # variants (I and 3I iterations) — minutes each from a cold
@@ -512,12 +563,59 @@ def run_selftest() -> dict:
             num_particles=128, swarms_per_tile=8,
         )
         assert res.angles.shape == (16, 129)
-        np.testing.assert_allclose(np.asarray(res.fitness), 0.0, atol=1e-9)
+        # Not allclose-to-zero at 1e-9: the kernel's polynomial-sincos
+        # FK (f32 end-to-end err ~1.2e-6) is scored against targets
+        # from the exact-trig tensor FK, so over a 43-link chain the
+        # anchor particle's squared-distance fitness is near-zero, not
+        # bit-zero (ADVICE r3). The angles assert below pins that the
+        # anchor particle survived sharded extraction exactly.
+        assert float(np.asarray(res.fitness).max()) < 1e-7, res.fitness
         anchor = np.asarray(fk_ops.pose_to_angles(spec_d, problem_d.pose))
         np.testing.assert_allclose(
             np.asarray(res.angles), anchor[None].repeat(16, 0), atol=1e-6
         )
-        return {"max_err": float(np.asarray(res.effector_error).max())}
+        # And a GENUINE solve through the same mesh path (VERDICT r3
+        # #6): targets from a perturbed pose (not the warm start), so
+        # the multi-row dof>127 megakernel + LM polish must actually
+        # close a nonzero error under the mesh — not just preserve an
+        # anchor. Same kernel config as above (I=2, P=128, sw/tile 8)
+        # so the Mosaic variant is reused; the polish is XLA-side.
+        from ikpso_tpu.pso.polish import wrap_with_polish
+
+        d_angles = jax.random.uniform(
+            jax.random.key(88), (16, spec_d.dof), minval=-0.03, maxval=0.03
+        )
+        pert_pose = fk_ops.angles_to_pose(
+            spec_d,
+            jnp.broadcast_to(problem_d.pose[0], (16, 3)),
+            np.asarray(fk_ops.pose_to_angles(spec_d, problem_d.pose))[None]
+            + d_angles,
+        )
+        pert_targets = fk_ops.fk_points(spec_d, pert_pose, problem_d.origin)[
+            :, list(spec_d.effector_idx), :
+        ]
+        batched2 = library.batched_problem(problem_d, pert_targets)
+        from ikpso_tpu.parallel.sharded import make_sharded_solver
+
+        sv = make_sharded_solver(
+            spec_d, mesh, impl="fused",
+            pso=PSOConfig(iterations=2),
+            fit=FitnessConfig(angle_weight=0.0),
+            num_particles=128, swarms_per_tile=8,
+        )
+        sv = wrap_with_polish(sv, spec_d, steps=10)
+        res2 = sv(batched2, jax.random.key(9))
+        errs = np.asarray(res2.effector_error)
+        warm_err = np.linalg.norm(
+            np.asarray(pert_targets)
+            - np.asarray(eff)[None], axis=-1
+        ).max()
+        assert errs.max() < 1e-3, (errs.max(), warm_err)
+        return {
+            "anchor_max_err": float(np.asarray(res.effector_error).max()),
+            "solved_max_err": float(errs.max()),
+            "warm_start_err": float(warm_err),
+        }
 
     @case("jnp_solver_convergence")
     def _jnp_convergence():
@@ -678,6 +776,24 @@ def main() -> int:
         "default max(1024, swarms/16))",
     )
     parser.add_argument(
+        "--walk", type=int, default=0, metavar="W",
+        help="run the BASE solve as a W-step warm target walk "
+        "(interpolate targets from the warm pose to the goal, "
+        "re-solving warm per step, one jitted scan — the reference's "
+        "own per-frame protocol, Main.cpp:222-227, batched): the "
+        "production recipe for far targets on deep trees; wall time "
+        "includes all W steps",
+    )
+    parser.add_argument(
+        "--retry-walk", type=int, default=None, metavar="W",
+        help="retry rounds re-solve via a W-step warm TARGET WALK "
+        "(interpolate targets from the warm pose's effector positions "
+        "to the goal, re-solving warm per step — the reference's own "
+        "per-frame protocol, Main.cpp:222-227) instead of an "
+        "independent restart; the tail-closing mode for basins that "
+        "resist cold retries (default: the model preset's)",
+    )
+    parser.add_argument(
         "--rekick-interval", type=int, default=None,
         help="velocity re-kick every N iterations (0 = off; default: "
         "measured per-model best); rescues prematurely-converged "
@@ -751,8 +867,11 @@ def main() -> int:
         help="direct latency protocol (BASELINE '<10 ms per PSO run'): "
         "wall time of ONE S=1280 batch (the v5p-16 per-chip share of "
         "the 10k-solve target, rounded up to the tile multiple) at the "
-        "shipping defaults, with the tunnel dispatch overhead measured "
-        "separately and decomposed out",
+        "shipping defaults; also reports chained_ms — the wall of one "
+        "jitted 64-run chain divided by 64, the DIRECT per-run device "
+        "time with the tunnel dispatch amortized by construction — "
+        "plus the trivial-program dispatch and the (approximate) "
+        "batch-size-slope decomposition",
     )
     parser.add_argument(
         "--selftest", action="store_true",
@@ -898,6 +1017,8 @@ def main() -> int:
         args.retry_iterations = dretiters
     if args.retry_bucket is None and retries and impl == "fused":
         args.retry_bucket = pre.retry_bucket
+    if args.retry_walk is None and retries and impl == "fused":
+        args.retry_walk = pre.retry_walk
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -908,7 +1029,7 @@ def main() -> int:
         spec, problem = getattr(library, args.model)()
     obstacles = _obstacle_scene(spec, args.obstacles) if args.obstacles else None
 
-    def _run(s_):
+    def _run(s_, chained_runs=0):
         return _target_p50_under_1mm(
             spec,
             problem,
@@ -934,11 +1055,15 @@ def main() -> int:
                         and args.sol),
             retry_iterations=args.retry_iterations,
             retry_bucket=args.retry_bucket,
+            chained_runs=chained_runs,
+            retry_walk=args.retry_walk or 0,
+            walk=args.walk,
         )
 
     with trace(args.profile):
-        stats = _run(args.swarms)
+        stats = _run(args.swarms, chained_runs=64 if args.latency else 0)
     sol_thunk = stats.pop("_sol_thunk", None)
+    chained_thunk = stats.pop("_chained_thunk", None)
     if args.latency:
         from ikpso_tpu.utils.profiling import measure as _measure
 
@@ -960,12 +1085,25 @@ def main() -> int:
             tiny, jnp.zeros((8,), jnp.float32), warmup=2, iters=9,
             vary=lambda i, a: (a[0] + np.float32(i),),
         )
+        # The DIRECT device measurement: wall of one 64-run chained
+        # program / 64 (built by _run above). The batch-size slope
+        # below is kept for the dispatch decomposition but is
+        # APPROXIMATE: the top-k retry bucket is max(1024, S/16)
+        # clamped to S, so at S=1280 each retry round re-solves ~80%
+        # of the batch vs ~6% at 64S — the slope's marginal rate
+        # under-weights the small batch's retry share (ADVICE r3).
+        # chained_ms has no such skew and is the authoritative
+        # device-time number.
+        chained = chained_thunk() if chained_thunk else {}
         _progress("measuring 64x batch for the device-time slope")
         stats64 = _run(args.swarms * 64)
         stats["dispatch_ms"] = dispatch_s * 1e3
         stats["device_ms"] = max(
             0.0, (stats64["wall_s"] - stats["wall_s"]) / 63.0 * 1e3
         )
+        if chained:
+            stats["chained_ms"] = chained["chained_ms_per_run"]
+            stats["chained_runs"] = chained["chained_runs"]
     model_tag = args.model.replace(":", "")
     if args.latency:
         # Direct evidence for "<10 ms per PSO run": one batched PSO
@@ -982,6 +1120,11 @@ def main() -> int:
             "dispatch_ms": round(stats["dispatch_ms"], 3),
             "device_ms": round(stats["device_ms"], 3),
         }
+        if "chained_ms" in stats:
+            # Direct per-run device time: one jitted 64-run chain,
+            # wall/64 (dispatch amortized by construction; no slope).
+            record["chained_ms"] = round(stats["chained_ms"], 4)
+            record["chained_runs"] = stats["chained_runs"]
     else:
         value = stats["solves_per_s"]
         metric = (
@@ -1013,6 +1156,8 @@ def main() -> int:
         "gflops": round(stats["gflops"], 1),
         "gtranscendentals": round(stats["gtranscendentals"], 1),
     })
+    if args.walk:
+        record["walk_steps"] = args.walk
     if "frac_targets_feasible" in stats:
         record["frac_targets_feasible"] = round(stats["frac_targets_feasible"], 4)
     if args.obstacles:
@@ -1025,6 +1170,8 @@ def main() -> int:
             record["retry_iterations"] = args.retry_iterations
         if args.retry_bucket:
             record["retry_bucket"] = args.retry_bucket
+        if args.retry_walk:
+            record["retry_walk"] = args.retry_walk
     if polish:
         record["polish_steps"] = polish
     if rekick_interval:

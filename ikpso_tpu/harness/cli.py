@@ -447,6 +447,7 @@ def cmd_parity(args) -> int:
             trials=args.trials,
             trial_batch=args.trial_batch,
             impl="jnp",
+            rng_mode=args.rng_stream,
         )
         frames = np.asarray(res.frames, float)
         converged = frames[frames >= 0]
@@ -460,11 +461,13 @@ def cmd_parity(args) -> int:
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
     print(json.dumps(dict(metric="parity", trials=args.trials,
-                          pso_variant=args.pso_variant, results=out)))
+                          pso_variant=args.pso_variant,
+                          rng_stream=args.rng_stream, results=out)))
     if args.out:
         with open(args.out, "a") as fh:
             fh.write(json.dumps(dict(trials=args.trials,
                                      pso_variant=args.pso_variant,
+                                     rng_stream=args.rng_stream,
                                      results=out)) + "\n")
     return 0
 
@@ -545,24 +548,85 @@ def cmd_sweep(args) -> int:
 
 
 def _follow_updates(stream):
-    """Parse a target-update stream: one update per line.
+    """Parse a target/origin-update stream: one update per line.
 
     Accepted line forms (blank lines and ``#`` comments skipped):
-    a JSON array ``[[x,y,z], ...]`` of E effector targets, or 3*E
-    whitespace-separated floats. This is the wire format for driving
-    ``track --follow`` from a UI, a file tail, or another process —
-    the reference's interactive gizmo drag (Main.cpp:401-453) as a
-    stream.
+
+    * a JSON array ``[[x,y,z], ...]`` of E effector targets;
+    * 3*E whitespace-separated floats (same meaning);
+    * ``origin x y z`` — move the arm base only (the reference's
+      arrow-key base drag, Main.cpp:401-453's origin-node move);
+    * a JSON object ``{"targets": [[x,y,z],...], "origin": [x,y,z]}``
+      with either or both keys — one atomic mixed update.
+
+    This is the wire format for driving ``track --follow`` from a UI,
+    a file tail, or another process — the reference's interactive
+    manipulation loop as a stream. Malformed lines raise ValueError
+    naming the line number (instead of an opaque reshape error deep in
+    the solve loop); the effector count is pinned by the first
+    targets-bearing line.
     """
-    for line in stream:
+    expected = [None]  # effector count, fixed by the first targets line
+
+    def _targets(arr, lineno):
+        arr = np.asarray(arr, np.float32)
+        if arr.size == 0 or arr.size % 3:
+            raise ValueError(
+                f"follow stream line {lineno}: targets need 3*E floats, "
+                f"got {arr.size}"
+            )
+        arr = arr.reshape(-1, 3)
+        if expected[0] is None:
+            expected[0] = arr.shape[0]
+        elif arr.shape[0] != expected[0]:
+            raise ValueError(
+                f"follow stream line {lineno}: {arr.shape[0]} effector "
+                f"targets, but the first update had {expected[0]}"
+            )
+        return arr
+
+    def _origin(arr, lineno):
+        arr = np.asarray(arr, np.float32)
+        if arr.shape != (3,):
+            raise ValueError(
+                f"follow stream line {lineno}: origin needs exactly 3 "
+                f"floats, got shape {arr.shape}"
+            )
+        return arr
+
+    for lineno, line in enumerate(stream, start=1):
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        if line.startswith("["):
-            arr = np.asarray(json.loads(line), np.float32)
+        if line.startswith("{"):
+            obj = json.loads(line)
+            unknown = sorted(set(obj) - {"targets", "origin"})
+            if unknown or not obj:
+                raise ValueError(
+                    f"follow stream line {lineno}: expected keys "
+                    f"'targets'/'origin', got {sorted(obj) or 'none'}"
+                )
+            upd = {}
+            if "targets" in obj:
+                upd["targets"] = _targets(obj["targets"], lineno)
+            if "origin" in obj:
+                upd["origin"] = _origin(obj["origin"], lineno)
+            yield upd
+        elif line.startswith("["):
+            yield _targets(json.loads(line), lineno)
         else:
-            arr = np.asarray([float(v) for v in line.split()], np.float32)
-        yield arr.reshape(-1, 3)
+            toks = line.split()
+            if toks[0] == "origin":
+                yield {"origin": _origin([float(v) for v in toks[1:]], lineno)}
+            else:
+                try:
+                    vals = [float(v) for v in toks]
+                except ValueError:
+                    raise ValueError(
+                        f"follow stream line {lineno}: not a number: "
+                        f"{line!r}"
+                    ) from None
+                yield _targets(vals, lineno)
 
 
 def cmd_track(args) -> int:
@@ -741,6 +805,15 @@ def main(argv=None) -> int:
         "(0.5/0.5/1.25, 15 it) or the Particle.h struct defaults "
         "(0.2/0.5/0.7, 10 it) — the historical-config hypothesis for "
         "the iteration-1/2 reports",
+    )
+    p.add_argument(
+        "--rng-stream", choices=("independent", "session"),
+        default="independent",
+        help="RNG protocol: fresh per-frame key splits (independent "
+        "trials) or 'session' — one stream advancing across all "
+        "frames and trials, the reference's curand_init-once "
+        "semantics (utility_kernels.cuh:28; the VERDICT r3 "
+        "stream-continuation hypothesis for the iteration-2 delta)",
     )
     p.add_argument("--out", default=None, help="append JSON record to FILE")
     p.set_defaults(fn=cmd_parity)

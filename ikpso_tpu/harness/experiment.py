@@ -98,6 +98,8 @@ def frames_to_converge(
     progress: bool = False,
     polish: int = 0,
     swarms_per_tile: int = 1,
+    rng_mode: str = "independent",
+    _session=None,
 ) -> ExperimentResult:
     """Run the reset->solve->converge experiment.
 
@@ -116,11 +118,30 @@ def frames_to_converge(
         trials at the reference's 16384x21 shape, so larger counts run
         as sequential batches (independent RNG streams) and merge —
         per-trial statistics are unaffected (trials never interact).
+      rng_mode: ``"independent"`` (default) gives every frame a fresh
+        split of the caller's key — trials/frames are independent
+        draws. ``"session"`` is the reference-compat mode: ONE logical
+        RNG stream advances across every frame AND every trial chunk
+        of the whole call — the TPU analog of the reference seeding
+        its per-particle XORWOW states once at startup
+        (utility_kernels.cuh:28,33-47, called once from Main.cpp:145)
+        and letting them run continuously across all frames and
+        logged trials of a data-gathering session. Implemented as
+        ``fold_in(session_key, running_frame_counter)``; the counter
+        continues across trial batches, so batch k's streams depend
+        on how many frames batch k-1 consumed — like the reference's
+        trial t starting where trial t-1's stream ended. (Tests the
+        VERDICT r3 stream-continuation hypothesis for the iteration-2
+        parity delta; docs/PERFORMANCE.md.)
 
     Returns:
       ExperimentResult with per-trial frame counts (a trial's count is
       the number of solves until its error first reaches ``eps_dist``).
     """
+    if rng_mode not in ("independent", "session"):
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    if rng_mode == "session" and _session is None:
+        _session = {"key": key, "counter": 0}
     if trial_batch is not None and trials > trial_batch:
         chunks = []
         remaining = trials
@@ -137,6 +158,7 @@ def frames_to_converge(
                     diagnostics=diagnostics if not chunks else None,
                     impl=impl, validate=validate, progress=progress,
                     polish=polish, swarms_per_tile=swarms_per_tile,
+                    rng_mode=rng_mode, _session=_session,
                 )
             )
             remaining -= n
@@ -233,7 +255,13 @@ def frames_to_converge(
     start = time.perf_counter()
     n_solves = 0
     for frame in range(1, max_frames + 1):
-        key, sub = jax.random.split(key)
+        if _session is not None:
+            # Session stream: one continuously-advancing counter over
+            # the whole call (all frames, all trial chunks).
+            sub = jax.random.fold_in(_session["key"], _session["counter"])
+            _session["counter"] += 1
+        else:
+            key, sub = jax.random.split(key)
         res = solver(current, sub)
         n_solves += 1
         if validate:

@@ -196,16 +196,22 @@ def follow_targets(
     """Streaming re-solve loop over externally-fed target updates.
 
     The honest analog of the reference's interactive manipulation
-    loop (reference Main.cpp:401-453: the user drags a target gizmo
-    and every frame re-solves from the pose the previous frame
-    produced). Where :func:`track_trajectories` requires the whole
-    path up front (one scan-chained XLA program),
-    this is the ONLINE form: ``updates`` is any iterator of
-    ``(E, 3)`` (or ``(S, E, 3)``) target arrays arriving one at a
-    time — a UI, a file tail, a socket. The solver compiles ONCE
+    loop (reference Main.cpp:401-453: the user drags a target gizmo —
+    or the arm BASE with the arrow keys, which move the origin node's
+    position — and every frame re-solves from the pose the previous
+    frame produced). Where :func:`track_trajectories` requires the
+    whole path up front (one scan-chained XLA program),
+    this is the ONLINE form: ``updates`` is any iterator arriving one
+    item at a time — a UI, a file tail, a socket. Each item is either
+    an ``(E, 3)`` (or ``(S, E, 3)``) target array, or a dict with any
+    of the keys ``"targets"`` (same shapes) and ``"origin"`` (``(3,)``
+    or ``(S, 3)`` base world translation — the arrow-key arm drag).
+    Omitted fields keep their previous value; an origin-only first
+    update solves for ``problem.targets``. The solver compiles ONCE
     (first step); every later step is a single warm-started dispatch
     re-using the previous solved pose as init and locality anchor,
-    exactly like the scan body.
+    exactly like the scan body (origin and targets are data, so base
+    moves never retrace).
 
     Yields one dict per consumed update:
     ``{step, effector_error, angles, wall_ms}`` (error/angles are
@@ -233,16 +239,33 @@ def follow_targets(
     base = None
     pose = None
     prev_angles = None
-    for step, tgt in enumerate(updates):
-        tgt = jnp.asarray(tgt, jnp.float32)
-        if tgt.ndim == 2:
-            tgt = tgt[None]
+    for step, upd in enumerate(updates):
+        if isinstance(upd, dict):
+            tgt, origin = upd.get("targets"), upd.get("origin")
+        else:
+            tgt, origin = upd, None
+        if tgt is not None:
+            tgt = jnp.asarray(tgt, jnp.float32)
+            if tgt.ndim == 2:
+                tgt = tgt[None]
         if base is None:
-            base = batched_problem(problem, tgt)
+            base = batched_problem(
+                problem,
+                tgt
+                if tgt is not None
+                else jnp.asarray(problem.targets, jnp.float32)[None],
+            )
             pose = base.pose
+        if tgt is not None:
+            base = base.replace(targets=tgt)
+        if origin is not None:
+            o = jnp.asarray(origin, jnp.float32)
+            base = base.replace(
+                origin=jnp.broadcast_to(o, base.origin.shape)
+            )
         key, k = jax.random.split(key)
         t0 = _time.perf_counter()
-        res = solver(base.replace(pose=pose, targets=tgt), k)
+        res = solver(base.replace(pose=pose), k)
         res = jax.block_until_ready(res)
         # block_until_ready can return at ENQUEUE over the axon
         # tunnel (CLAUDE.md TPU timing rules); a one-element host

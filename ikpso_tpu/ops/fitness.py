@@ -73,11 +73,13 @@ class FitnessConfig:
     # (rounded, rotation-free, exact closed form; the more physical
     # link model). See ops.collision.get_chain_collider.
     collision_shape: str = dataclasses.field(default="box", metadata=dict(static=True))
-    # Kernel trig: "poly" (range-reduced minimax polynomials, max err
-    # 3.1e-7 over [-4pi, 4pi] — ~4x cheaper than stock sin/cos, which
-    # the roofline measured at ~63 op-equivalents each) or "exact"
-    # (stock lowering). Kernel paths only; the jnp path always uses
-    # stock trig and is the accuracy oracle.
+    # Kernel trig: "poly" (range-reduced minimax polynomials; fit err
+    # 3.1e-7 sin / 3.6e-8 cos in exact arithmetic, 1.2e-6 / 5.3e-7
+    # end-to-end in f32 over [-4pi, 4pi] where the one-step range
+    # reduction's round-off dominates — ~4x cheaper than stock
+    # sin/cos, which the roofline measured at ~63 op-equivalents
+    # each) or "exact" (stock lowering). Kernel paths only; the jnp
+    # path always uses stock trig and is the accuracy oracle.
     trig_impl: str = dataclasses.field(default="poly", metadata=dict(static=True))
     # FK evaluation strategy for the jnp path: "unrolled" (the
     # straight-line tree walk, works for any topology) or "scan"

@@ -54,10 +54,12 @@ TILE_P = LANES * SUBLANES  # particles per grid step
 # measure a stock sin at ~63 op-equivalents on this v5e, making trig
 # ~65% of the FK kernel's speed-of-light time. The minimax-fit odd/even
 # polynomials below (range-reduced to [-pi, pi]) cost ~30 ops per
-# angle for BOTH sin and cos, with max error 3.1e-7 / 3.6e-8 over
-# [-4pi, 4pi] — below f32 round-off of the downstream composes, so
-# accuracy is unchanged (validated vs the jnp path in tests and the
-# float64 native oracle).
+# angle for BOTH sin and cos. Error over [-4pi, 4pi]: 3.1e-7 (sin) /
+# 3.6e-8 (cos) is the polynomial FIT error in exact arithmetic; the
+# f32 end-to-end max error is 1.2e-6 / 5.3e-7, dominated by the
+# one-step range reduction's round-off — micrometre scale at this
+# reach, so accuracy is unchanged (validated vs the jnp path in tests
+# and the float64 native oracle).
 _INV_2PI = np.float32(1.0 / (2.0 * np.pi))
 _2PI = np.float32(2.0 * np.pi)
 _SIN_C = tuple(np.float32(v) for v in (

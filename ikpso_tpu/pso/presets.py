@@ -41,6 +41,12 @@ class FusedPreset:
     # (the 45-DOF humanoid: ~25-40% before retries) need rounds x
     # bucket to cover the whole failure set, not just a tail.
     retry_bucket: Optional[int] = None
+    # Retry rounds as a W-step warm target WALK instead of an
+    # independent restart (pso/restarts.py
+    # wrap_solver_with_target_walk) — the reference's own per-frame
+    # protocol applied to the failed bucket; for basins that resist
+    # cold restarts. None/0 = ordinary retries.
+    retry_walk: Optional[int] = None
     rekick_scale: float = 0.5
     rekick_threshold: float = 1e-6
     # The frontier recipes were all measured with the canonical

@@ -121,6 +121,61 @@ def make_retry_solver(solver: Solver, **retry_kwargs) -> Solver:
     return _solve
 
 
+def wrap_solver_with_target_walk(solver: Solver, spec, steps: int) -> Solver:
+    """Re-solve via a W-step warm target walk instead of one jump.
+
+    The reference's own protocol for far targets is not a single-shot
+    solve: its interactive loop re-solves EVERY frame as the target
+    moves, each frame warm-started from the previous solution
+    (reference Main.cpp:222-227). This wrapper runs that protocol as
+    one jitted program: interpolate the targets from the CURRENT
+    pose's effector positions to the true targets in ``steps`` equal
+    fractions, re-solving warm at each step (``lax.scan`` over the
+    walk, the final step exactly at the true targets). Each step is a
+    small target jump in the easy warm regime — the measured fix for
+    basins that resist dozens of independent cold restarts (the
+    45-DOF humanoid: single-shot plateaus ~99.98% under every retry
+    escalation while the walk reaches machine precision;
+    docs/PERFORMANCE.md r3). Orientation targets (if any) are held
+    fixed at the true values — only positions walk; the reference's
+    drag loop has no orientation either.
+
+    Used as a RETRY solver (``wrap_with_topk_retries(...,
+    retry_walk_steps=W)``): the failed bucket gets a W-step walk from
+    its current best pose instead of another cold restart.
+    """
+    if steps < 1:
+        raise ValueError(f"target walk needs steps >= 1, got {steps}")
+
+    from ikpso_tpu.ops.fk import fk_points
+
+    def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
+        keys = jax.random.split(key, steps)
+        if steps > 1:
+            start = fk_points(spec, problem.pose, problem.origin)[
+                :, list(spec.effector_idx), :
+            ]
+            fracs = (
+                jnp.arange(1, steps, dtype=jnp.float32) / float(steps)
+            )
+
+            def body(pose, xs):
+                f, k = xs
+                tgt = start + f * (problem.targets - start)
+                r = solver(problem.replace(pose=pose, targets=tgt), k)
+                return r.pose, None
+
+            pose, _ = jax.lax.scan(
+                body, problem.pose, (fracs, keys[:-1])
+            )
+            problem = problem.replace(pose=pose)
+        # Final step at the TRUE targets returns the full result (its
+        # effector_error is scored against the real problem).
+        return solver(problem, keys[-1])
+
+    return _solve
+
+
 def wrap_with_topk_retries(
     build,
     pso,
@@ -131,6 +186,8 @@ def wrap_with_topk_retries(
     retry_init_mode: Optional[str] = None,
     retry_iterations: Optional[int] = None,
     swarms_per_tile: int = 1,
+    spec=None,
+    retry_walk_steps: int = 0,
 ) -> Solver:
     """Build a solver and wrap it in jitted top-k retries.
 
@@ -147,13 +204,26 @@ def wrap_with_topk_retries(
     ``bucket`` is rounded up to a multiple of ``swarms_per_tile`` so
     the retry sub-batch satisfies the fused kernel's packing
     divisibility (the base batch is validated separately).
+
+    ``retry_walk_steps=W`` (requires ``spec``) makes each retry round
+    a W-step warm TARGET WALK (:func:`wrap_solver_with_target_walk`)
+    from the problem's warm-start pose — the r3-proven
+    canonical-to-goal walk protocol — instead of an independent
+    re-solve: the tail-closing tool for basins that resist cold
+    restarts (45-DOF humanoid; docs/PERFORMANCE.md). The walk needs
+    its warm start intact, so ``retry_init_mode`` is ignored when a
+    walk is requested (a uniform/hybrid init would discard exactly
+    the pose each step warms from).
     """
     solver = build(pso)
     if not rounds:
         return solver
     retry_solver = None
     retry_cfg = {}
-    if retry_init_mode and retry_init_mode != pso.init_mode:
+    if retry_walk_steps and spec is None:
+        raise ValueError("retry_walk_steps requires spec")
+    if retry_init_mode and retry_init_mode != pso.init_mode \
+            and not retry_walk_steps:
         retry_cfg["init_mode"] = retry_init_mode
     if retry_iterations and retry_iterations != pso.iterations:
         retry_cfg["iterations"] = retry_iterations
@@ -161,6 +231,10 @@ def wrap_with_topk_retries(
             retry_cfg["rekick_interval"] = 0
     if retry_cfg:
         retry_solver = build(dataclasses.replace(pso, **retry_cfg))
+    if retry_walk_steps:
+        retry_solver = wrap_solver_with_target_walk(
+            retry_solver or solver, spec, retry_walk_steps
+        )
     sw = max(1, swarms_per_tile)
     bucket = max(sw, (bucket + sw - 1) // sw * sw)
     return make_topk_retry_solver(

@@ -415,3 +415,115 @@ def test_configio_parameterized_snake_model():
     assert cfg30.spec.dof == spec30.dof == 30
     with pytest.raises(ValueError, match="snake"):
         load_config({"model": "nonexistent_model"})
+
+
+def test_session_rng_stream_mode():
+    # rng_mode="session": one logical stream advances across frames AND
+    # trial chunks (the reference's curand_init-once semantics,
+    # utility_kernels.cuh:28) — deterministic, distinct from the
+    # independent-splits default, same statistics contract.
+    spec, problem = library.planar_3dof(target=(2.9, 0.3, 0.0))
+    kw = dict(
+        pso=PSOConfig(iterations=25),
+        fit=FitnessConfig(angle_weight=0.5),
+        num_particles=256,
+        eps_dist=0.05,
+        max_frames=60,
+        trials=4,
+        trial_batch=2,
+    )
+    reset = np.asarray([[1.5, 1.5, 0.0]], np.float32)
+    a = frames_to_converge(
+        spec, problem, reset, jax.random.key(0), rng_mode="session", **kw
+    )
+    b = frames_to_converge(
+        spec, problem, reset, jax.random.key(0), rng_mode="session", **kw
+    )
+    np.testing.assert_array_equal(a.frames, b.frames)
+    np.testing.assert_array_equal(a.final_error, b.final_error)
+    assert a.converged.sum() >= 3
+    # The session stream is a different protocol than independent
+    # splits: the per-frame keys differ, so the solve traces differ.
+    c = frames_to_converge(
+        spec, problem, reset, jax.random.key(0), rng_mode="independent",
+        **kw
+    )
+    assert (a.final_error != c.final_error).any() or (
+        a.frames != c.frames
+    ).any()
+    with pytest.raises(ValueError, match="rng_mode"):
+        frames_to_converge(
+            spec, problem, reset, jax.random.key(0), rng_mode="xorwow",
+            **kw
+        )
+
+
+def test_follow_stream_origin_updates(tmp_path, capsys):
+    # Mixed target + origin updates through the streaming CLI — the
+    # reference's arrow-key arm-base drag (Main.cpp:401-453) alongside
+    # target drags (VERDICT r3 missing #2). After each base move the
+    # warm re-solve must still settle on the (unchanged) target.
+    from ikpso_tpu.harness.cli import main
+
+    spec, problem = library.arm_7dof()
+    tgt = np.asarray(problem.targets)[0]  # (3,)
+    lines = ["# mixed stream: targets, base moves, one JSON object"]
+    lines.append(json.dumps([tgt.tolist()]))
+    lines.append(json.dumps([(tgt + [0.0, 0.1, 0.0]).tolist()]))
+    # Arrow-key base drags: origin-only updates, targets held.
+    lines.append("origin 0.05 0 0")
+    lines.append("origin 0.1 0 0")
+    # One atomic mixed update (both keys).
+    lines.append(json.dumps({
+        "targets": [(tgt + [0.0, 0.05, 0.0]).tolist()],
+        "origin": [0.0, 0.0, 0.05],
+    }))
+    lines.append("origin 0 0 0")
+    feed = tmp_path / "mixed.txt"
+    feed.write_text("\n".join(lines) + "\n")
+
+    rc = main(
+        [
+            "track", "--model", "arm_7dof", "--cpu",
+            "--particles", "256", "--iterations", "20",
+            "--inertia-mode", "canonical",
+            "--polish", "3", "--angle-weight", "0.3",
+            "--follow", str(feed),
+        ]
+    )
+    assert rc == 0
+    out_lines = [
+        json.loads(s) for s in capsys.readouterr().out.splitlines() if s
+    ]
+    steps, summary = out_lines[:-1], out_lines[-1]
+    assert len(steps) == 6
+    assert summary["steps"] == 6
+    # Base moves are small reachable shifts: the warm loop re-settles
+    # each one to the tracking bound.
+    assert summary["err_max_settled"] < 2e-2
+    assert all(s["angle_delta_max"] < 1.0 for s in steps[1:])
+
+
+def test_follow_updates_validation():
+    # Malformed stream lines fail loudly with the line number, not as
+    # an opaque reshape error mid-solve (ADVICE r3).
+    from ikpso_tpu.harness.cli import _follow_updates
+
+    def run(*lines):
+        return list(_follow_updates(list(lines)))
+
+    ok = run("1 2 3", "[[4, 5, 6]]", "origin 0 0 1",
+             '{"origin": [1, 0, 0], "targets": [[1, 2, 3]]}')
+    assert isinstance(ok[0], np.ndarray) and ok[0].shape == (1, 3)
+    assert set(ok[2]) == {"origin"} and set(ok[3]) == {"origin", "targets"}
+
+    with pytest.raises(ValueError, match="line 1.*3\\*E"):
+        run("1 2 3 4")
+    with pytest.raises(ValueError, match="line 2.*first update"):
+        run("1 2 3", "[[1,2,3],[4,5,6]]")
+    with pytest.raises(ValueError, match="line 1.*origin"):
+        run("origin 1 2")
+    with pytest.raises(ValueError, match="line 1"):
+        run('{"target": [[1,2,3]]}')
+    with pytest.raises(ValueError, match="line 1.*not a number"):
+        run("one two three")

@@ -193,3 +193,80 @@ def test_wrap_with_topk_retries_deep_retry_budget():
     assert built == [(4, "warm", 2), (11, "uniform", 0)]
     res = solver(batched, jax.random.key(0))
     assert np.isfinite(np.asarray(res.effector_error)).all()
+
+
+def test_target_walk_solver_beats_single_shot():
+    # The W-step warm target walk (the reference's own per-frame
+    # protocol, Main.cpp:222-227, as one jitted scan) reaches far
+    # targets a single warm solve of the same per-step budget misses.
+    from ikpso_tpu.pso.restarts import wrap_solver_with_target_walk
+
+    spec, batched = _setup(s=12)
+    fit = FitnessConfig(angle_weight=0.0)
+    solver = make_solver(spec, pso=PSOConfig(iterations=6), fit=fit,
+                         num_particles=64)
+    walk = wrap_solver_with_target_walk(solver, spec, steps=6)
+    base = np.asarray(solver(batched, jax.random.key(0)).effector_error)
+    res = walk(batched, jax.random.key(0))
+    err = np.asarray(res.effector_error)
+    assert np.isfinite(err).all()
+    # 6 warm steps of small target jumps solve the easy regime each
+    # step; the aggregate must clearly beat one 6-iteration jump.
+    assert np.median(err) < np.median(base)
+    assert err.max() < 0.05, err
+    # Scored against the TRUE targets: pose is consistent with angles.
+    # Deterministic: same key, same walk.
+    res2 = walk(batched, jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(res.angles), np.asarray(res2.angles)
+    )
+
+
+def test_wrap_with_topk_retries_walk_mode():
+    # retry_walk_steps: the retry rounds run the warm target walk (and
+    # the diverse retry init is ignored — the walk needs its warm
+    # start), improving the failed bucket monotonically.
+    from ikpso_tpu.pso.restarts import wrap_with_topk_retries
+
+    spec, batched = _setup(s=8)
+    fit = FitnessConfig(angle_weight=0.0)
+    built_inits = []
+
+    def build(pso_cfg):
+        built_inits.append(pso_cfg.init_mode)
+        return make_solver(spec, pso=pso_cfg, fit=fit, num_particles=64)
+
+    pso = PSOConfig(iterations=4)
+    solver = wrap_with_topk_retries(
+        build, pso, rounds=2, bucket=4, retry_init_mode="uniform",
+        spec=spec, retry_walk_steps=4,
+    )
+    # ONE build: the walk reuses the warm base solver; the uniform
+    # retry init must NOT have produced a second solver.
+    assert built_inits == ["warm"]
+    base = build(pso)(batched, jax.random.key(3))
+    base_err = np.asarray(base.effector_error)
+    res = solver(batched, jax.random.key(3))
+    err = np.asarray(res.effector_error)
+    assert (err <= base_err + 1e-7).all()
+    assert np.median(err) < np.median(base_err)
+
+    # retry_iterations still deepens the walk's inner solver.
+    built_inits.clear()
+    wrap_with_topk_retries(
+        build, pso, rounds=1, bucket=4, retry_iterations=9,
+        spec=spec, retry_walk_steps=2,
+    )
+    assert built_inits == ["warm", "warm"]
+
+    # Guard rails: walk without spec, or a degenerate step count.
+    import pytest
+
+    from ikpso_tpu.pso.restarts import wrap_solver_with_target_walk
+
+    with pytest.raises(ValueError, match="spec"):
+        wrap_with_topk_retries(
+            build, pso, rounds=1, bucket=4, retry_walk_steps=3,
+        )
+    with pytest.raises(ValueError, match="steps"):
+        wrap_solver_with_target_walk(build(pso), spec, steps=0)
