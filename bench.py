@@ -81,7 +81,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           collision_shape="box", fk_impl="unrolled",
                           kernel_sol=False, retry_iterations=None,
                           retry_bucket=None, chained_runs=0,
-                          retry_walk=0, walk=0):
+                          retry_walk=0, walk=0, retry_bucket_decay=1):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -230,6 +230,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
         spec=spec, retry_walk_steps=retry_walk,
+        bucket_decay=retry_bucket_decay,
     )
     # Distinct key per timed call: repeat dispatches of identical
     # args are cache-served by the tunnel transport (~0 ms walls),
@@ -785,6 +786,15 @@ def main() -> int:
         "includes all W steps",
     )
     parser.add_argument(
+        "--retry-bucket-decay", type=int, default=None, metavar="K",
+        help="shrink the retry bucket K-fold each round (floor 1024): "
+        "round 1 covers the base failure set, later rounds chase the "
+        "geometrically-shrinking residue with matched compute "
+        "(default: the model preset's — 4 where measured safe, 1 for "
+        "high-failure-rate models whose rounds need full coverage; "
+        "bench_records/r4_sweep.jsonl)",
+    )
+    parser.add_argument(
         "--retry-walk", type=int, default=None, metavar="W",
         help="retry rounds re-solve via a W-step warm TARGET WALK "
         "(interpolate targets from the warm pose's effector positions "
@@ -1019,6 +1029,14 @@ def main() -> int:
         args.retry_bucket = pre.retry_bucket
     if args.retry_walk is None and retries and impl == "fused":
         args.retry_walk = pre.retry_walk
+    if args.retry_bucket_decay is None:
+        # Per-model measured default (r4): shrinking buckets cut the
+        # retry share of the headline wall with no accuracy change —
+        # but ONLY low-failure-rate models opt in (presets.py); pass
+        # --retry-bucket-decay explicitly to A/B.
+        args.retry_bucket_decay = (
+            pre.retry_bucket_decay if impl == "fused" else 1
+        )
 
     from ikpso_tpu.models import library
     from ikpso_tpu.utils.profiling import trace
@@ -1058,6 +1076,7 @@ def main() -> int:
             chained_runs=chained_runs,
             retry_walk=args.retry_walk or 0,
             walk=args.walk,
+            retry_bucket_decay=args.retry_bucket_decay,
         )
 
     with trace(args.profile):
@@ -1172,6 +1191,8 @@ def main() -> int:
             record["retry_bucket"] = args.retry_bucket
         if args.retry_walk:
             record["retry_walk"] = args.retry_walk
+        if args.retry_bucket_decay != 1:
+            record["retry_bucket_decay"] = args.retry_bucket_decay
     if polish:
         record["polish_steps"] = polish
     if rekick_interval:

@@ -47,6 +47,15 @@ class FusedPreset:
     # protocol applied to the failed bucket; for basins that resist
     # cold restarts. None/0 = ordinary retries.
     retry_walk: Optional[int] = None
+    # Shrink the retry bucket K-fold per round (pso/restarts.py
+    # bucket_decay): rounds after the first chase a geometrically-
+    # shrinking residue, so matched buckets save most of the retry
+    # wall (r4: headline 2.07M -> 2.37M solves/s @ 100.00%). ONLY for
+    # models whose pre-retry failure rate is low (a round's bucket
+    # must still cover the residue it faces): high-failure models
+    # (humanoid ~25-40%, 6-DOF orientation ~17-25%, dual-arm's
+    # coverage-exact 4th round) keep constant buckets.
+    retry_bucket_decay: int = 1
     rekick_scale: float = 0.5
     rekick_threshold: float = 1e-6
     # The frontier recipes were all measured with the canonical
@@ -79,7 +88,8 @@ FUSED_PRESETS = {
     # that picked 256 measured at S=262144 (sw=64: 851.5k, sw=128:
     # 811-837k, sw=256: 877.2k, r2_sweep.jsonl r2-tile); the batch
     # frontier moved the optimum back.
-    "arm_7dof": FusedPreset(128, 128, 8, 0, 4, 4, swarms=1_048_576),
+    "arm_7dof": FusedPreset(128, 128, 8, 0, 4, 4, swarms=1_048_576,
+                            retry_bucket_decay=4),
     # 1.144M @ 100.00% at the S=1M batch frontier (r2c-batch; 935.9k
     # at S=262144; sw/tile 256 reads slightly worse here, 1.120M —
     # planar keeps 128). Planar's residual tail is warm-retry-resistant
@@ -87,7 +97,7 @@ FUSED_PRESETS = {
     # close it — its failures are wrong-basin, not premature
     # convergence.
     "planar_3dof": FusedPreset(128, 128, 8, 0, 4, 2, "uniform",
-                               swarms=1_048_576),
+                               swarms=1_048_576, retry_bucket_decay=4),
     # 260.1k @ 100.00% (r2_sweep.jsonl): the exactly-determined
     # position+orientation task leaves wrong-basin failures that only
     # DIVERSE retries fix (92.1% with warm retries,
@@ -110,23 +120,29 @@ FUSED_PRESETS = {
     # 45-DOF 5-effector tree: the hardest single-shot basin in the zoo
     # (two 3-child branch points; random in-limit target sets are
     # mutually-coupled five-point constraints; the LM polish sticks in
-    # limit/singularity traps from wrong basins, so DIVERSE deep
-    # retries do the closing — measured 100.00% at 8 hybrid rounds of
-    # 120 iterations, /tmp-r3 CPU pilot, confirmed on TPU in
-    # bench_records/r3_sweep.jsonl r3-humanoid). retry_bucket S/8:
-    # the pre-retry failure rate is ~25-40%, so rounds x bucket must
-    # cover the whole failure set. Batch capped like the other deep
-    # chains (polish intermediates scale with S x DOF^2).
-    "humanoid_45dof": FusedPreset(512, 8, 60, 0, 6, 8, "hybrid",
-                                  retry_iterations=120,
-                                  retry_bucket=8192, swarms=65_536),
+    # limit/singularity traps from wrong basins). r4 frontier: retry
+    # rounds re-solve the failed bucket via 8-step warm TARGET WALKS
+    # (retry_walk — the reference's own per-frame protocol on the
+    # failed bucket), the strongest retry primitive measured on this
+    # model: 99.99% <1mm at 734 solves/s (S=16384; 4 rounds x 4-step
+    # walks trade tail for speed: 99.89% @ 2,017/s; r3's best
+    # cold-restart recipe, 8 hybrid rounds x 120 it, left 99.81%) —
+    # bench_records/r4_sweep.jsonl r4-humanoid-walkretry*. The
+    # retry bucket stays S/2-scale CONSTANT (decay 1): the pre-retry
+    # failure rate is ~25-40%, so rounds x bucket must cover the
+    # whole failure set, not a shrinking residue.
+    "humanoid_45dof": FusedPreset(512, 8, 60, 0, 6, 6,
+                                  retry_iterations=60,
+                                  retry_bucket=8192, retry_walk=8,
+                                  swarms=16_384),
     # 252.5k @ 100% at 30 DOF (sw/tile 16, out/bench_sweep28.jsonl); 100%
     # holds at every depth measured (160.9k @ 60 DOF, 113.2k @ 90 DOF,
     # out/bench_sweep20.jsonl). 4 it is the floor: 2 it measures the
     # same wall (polish + retries + dispatch dominate). Deep chains
     # cap the batch at 65536 (see `swarms`). snake:<links> shares the
     # recipe.
-    "snake_30dof": FusedPreset(256, 16, 4, 2, 4, 2, swarms=65_536),
+    "snake_30dof": FusedPreset(256, 16, 4, 2, 4, 2, swarms=65_536,
+                               retry_bucket_decay=4),
 }
 
 

@@ -188,6 +188,7 @@ def wrap_with_topk_retries(
     swarms_per_tile: int = 1,
     spec=None,
     retry_walk_steps: int = 0,
+    bucket_decay: int = 1,
 ) -> Solver:
     """Build a solver and wrap it in jitted top-k retries.
 
@@ -204,6 +205,12 @@ def wrap_with_topk_retries(
     ``bucket`` is rounded up to a multiple of ``swarms_per_tile`` so
     the retry sub-batch satisfies the fused kernel's packing
     divisibility (the base batch is validated separately).
+
+    ``bucket_decay=k`` shrinks the bucket k-fold each round (floored
+    at 1024 and the tile multiple): round 1 covers the base failure
+    set, later rounds chase the geometrically-shrinking residue with
+    matched compute (see :func:`make_topk_retry_solver`). 1 = the
+    constant-bucket behavior.
 
     ``retry_walk_steps=W`` (requires ``spec``) makes each retry round
     a W-step warm TARGET WALK (:func:`wrap_solver_with_target_walk`)
@@ -236,9 +243,19 @@ def wrap_with_topk_retries(
             retry_solver or solver, spec, retry_walk_steps
         )
     sw = max(1, swarms_per_tile)
-    bucket = max(sw, (bucket + sw - 1) // sw * sw)
+
+    def _align(b):
+        return max(sw, (b + sw - 1) // sw * sw)
+
+    if bucket_decay > 1:
+        buckets = [
+            _align(max(min(bucket, 1024), bucket // bucket_decay**r))
+            for r in range(rounds)
+        ]
+    else:
+        buckets = _align(bucket)
     return make_topk_retry_solver(
-        solver, err_threshold=err_threshold, rounds=rounds, bucket=bucket,
+        solver, err_threshold=err_threshold, rounds=rounds, bucket=buckets,
         retry_solver=retry_solver,
     )
 
@@ -246,7 +263,7 @@ def wrap_with_topk_retries(
 def make_topk_retry_solver(
     solver: Solver,
     *,
-    bucket: int = 1024,
+    bucket=1024,
     err_threshold: float = 1e-3,
     rounds: int = 1,
     retry_solver: Optional[Solver] = None,
@@ -263,11 +280,27 @@ def make_topk_retry_solver(
     compute) whether or not they all failed. The ``err_threshold``
     guard keeps already-converged swarms' results bit-stable.
 
+    ``bucket`` may be a sequence of per-round sizes: the failure count
+    shrinks geometrically with each round (each round's fresh solve
+    fails independently at the base rate), so matched shrinking
+    buckets deliver the same coverage for a fraction of the re-solve
+    compute — at the S=1M headline the 4 retry rounds at a constant
+    S/16 bucket cost ~135 ms of the ~505 ms wall while rounds 2-4
+    chase a few hundred residual failures (r4 stage bisection,
+    bench_records/r4_bisect.jsonl).
+
     The reference's analog would be "run the kernel again on the worst
     problems" — impossible to express without host logic in its
     architecture (SURVEY.md §3.3); here it is three extra XLA ops.
     """
     retry_solver_ = retry_solver or solver
+    buckets = (
+        [int(bucket)] * rounds
+        if np.ndim(bucket) == 0
+        else [int(b) for b in bucket]
+    )
+    if len(buckets) < rounds:
+        buckets += [buckets[-1]] * (rounds - len(buckets))
 
     def _solve(problem: IKProblem, key: jnp.ndarray) -> SolveResult:
         # Base solve consumes the caller's key unchanged, so the
@@ -275,10 +308,10 @@ def make_topk_retry_solver(
         # trajectory); retry streams derive via fold_in.
         res = solver(problem, key)
         s = res.effector_error.shape[0]
-        b = min(bucket, s)
         out = res
         k2 = jax.random.fold_in(key, 0x7e7)
-        for _ in range(rounds):
+        for rnd in range(rounds):
+            b = min(buckets[rnd], s)
             k2, ks = jax.random.split(k2)
             worst = jax.lax.top_k(out.effector_error, b)[1]
             sub_problem = jax.tree.map(

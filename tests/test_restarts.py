@@ -270,3 +270,38 @@ def test_wrap_with_topk_retries_walk_mode():
         )
     with pytest.raises(ValueError, match="steps"):
         wrap_solver_with_target_walk(build(pso), spec, steps=0)
+
+
+def test_retry_bucket_decay_schedule():
+    # bucket_decay shrinks the per-round bucket geometrically (floored
+    # at min(bucket, 1024) and tile-aligned); behavior stays monotone
+    # and rounds still rescue failures.
+    from ikpso_tpu.pso.restarts import (
+        make_topk_retry_solver,
+        wrap_with_topk_retries,
+    )
+
+    spec, batched = _setup(s=12)
+    fit = FitnessConfig(angle_weight=0.0)
+
+    def build(pso_cfg):
+        return make_solver(spec, pso=pso_cfg, fit=fit, num_particles=64)
+
+    pso = PSOConfig(iterations=2)
+    base_err = np.asarray(build(pso)(batched, jax.random.key(6)).effector_error)
+    solver = wrap_with_topk_retries(
+        build, pso, rounds=3, bucket=8, bucket_decay=2,
+        retry_iterations=60, swarms_per_tile=1,
+    )
+    res = solver(batched, jax.random.key(6))
+    err = np.asarray(res.effector_error)
+    assert (err <= base_err + 1e-7).all()
+    assert (err < 0.05).mean() > (base_err < 0.05).mean()
+
+    # Per-round sequences are honored by make_topk_retry_solver and
+    # padded with the last entry when shorter than rounds.
+    seq = make_topk_retry_solver(
+        build(pso), bucket=[6, 3], rounds=3, err_threshold=0.05,
+    )
+    res2 = seq(batched, jax.random.key(6))
+    assert np.isfinite(np.asarray(res2.effector_error)).all()
