@@ -106,6 +106,9 @@ def _build_solver_kernel(
     use_orientation: bool = False,
     swarms_per_tile: int = 1,
     gbest_mode: str = "auto",
+    vector_consts: bool = False,
+    swarm_k: int = 0,
+    hoist_bounds: bool = True,
 ):
     """Kernel: one grid step = ``swarms_per_tile`` complete PSO solves.
 
@@ -135,7 +138,7 @@ def _build_solver_kernel(
     vscale = np.float32(pso.init_velocity_scale)
     INF = np.float32(np.inf)
 
-    def kernel(meta_ref, swarm_ref, limits_ref, seed_ref, *rest):
+    def kernel(meta_ref, swarm_ref, bounds_ref, seed_ref, *rest):
         if debug_uniforms:
             u_ref, out_ref = rest
         else:
@@ -146,23 +149,51 @@ def _build_solver_kernel(
         def meta(i):
             return meta_ref[0, i]
 
-        def sw_scalar(j, i):
-            return swarm_ref[0, j, i]
-
         # Per-swarm constants as per-band broadcast tiles (memoized;
         # loop-invariant, so Mosaic hoists them out of the PSO loop).
         _const_cache = {}
 
-        def sw(i):
-            if i not in _const_cache:
-                if sw_count == 1:
-                    _const_cache[i] = sw_scalar(0, i)
-                else:
-                    _const_cache[i] = jnp.concatenate(
-                        [jnp.full(band, sw_scalar(j, i)) for j in range(sw_count)],
-                        axis=0,
+        if vector_consts:
+            # Vectorized construction (rows == 1, so band j IS sublane
+            # j): the swarm block arrives in VMEM as (sw_count, k);
+            # constant i's per-band tile is column i broadcast along
+            # lanes. One masked lane-reduction + one lane broadcast
+            # (~4 vector ops) replaces sw_count scalar fills + a
+            # concatenate (~sw_count vector stores) PER CONSTANT PER
+            # GRID STEP — the r4 probe-B bisection measured this
+            # constant-tile materialization at ~80 ms of the S=1M
+            # batch (docs/PERFORMANCE.md "Round 4"). The one-hot sum
+            # has exactly one nonzero term, so the result is
+            # bit-identical to the scalar-fill path.
+            swarm_tile = swarm_ref[0]  # (sw_count, k) f32
+            lane_k = jax.lax.broadcasted_iota(
+                jnp.int32, (sw_count, swarm_k), 1
+            )
+
+            def sw(i):
+                if i not in _const_cache:
+                    col = jnp.sum(
+                        jnp.where(lane_k == i, swarm_tile, 0.0),
+                        axis=1,
+                        keepdims=True,
                     )
-            return _const_cache[i]
+                    _const_cache[i] = jnp.broadcast_to(col, tile)
+                return _const_cache[i]
+        else:
+            def sw_scalar(j, i):
+                return swarm_ref[0, j, i]
+
+            def sw(i):
+                if i not in _const_cache:
+                    if sw_count == 1:
+                        _const_cache[i] = sw_scalar(0, i)
+                    else:
+                        _const_cache[i] = jnp.concatenate(
+                            [jnp.full(band, sw_scalar(j, i))
+                             for j in range(sw_count)],
+                            axis=0,
+                        )
+                return _const_cache[i]
 
         def fitness_of(x):
             return fk_fitness_tile(
@@ -179,13 +210,24 @@ def _build_solver_kernel(
                 trig_impl=fit.trig_impl,
             )
 
-        # Joint-limit clamp bounds, (D*R, LANES) broadcast rows.
-        lo = jnp.concatenate(
-            [jnp.full(tile, limits_ref[0, dd]) for dd in range(d)], axis=0
-        )
-        hi = jnp.concatenate(
-            [jnp.full(tile, limits_ref[1, dd]) for dd in range(d)], axis=0
-        )
+        # Joint-limit clamp bounds, (D*R, LANES) broadcast rows —
+        # DMA'd once as a constant-index VMEM input (the block index
+        # never changes, so the pipeline fetches it for grid step 0
+        # only) instead of being rebuilt from SMEM scalars every grid
+        # step (2*d*R vector stores/step, part of the ~80 ms r4
+        # probe-B fixed share; docs/PERFORMANCE.md "Round 4").
+        # ``hoist_bounds=False`` keeps the SMEM-scalar rebuild for the
+        # within-session A/B (const_mode="scalar").
+        if hoist_bounds:
+            lo = bounds_ref[0]
+            hi = bounds_ref[1]
+        else:
+            lo = jnp.concatenate(
+                [jnp.full(tile, bounds_ref[0, dd]) for dd in range(d)], axis=0
+            )
+            hi = jnp.concatenate(
+                [jnp.full(tile, bounds_ref[1, dd]) for dd in range(d)], axis=0
+            )
 
         rekick_n = pso.rekick_interval
         # Debug-slot layout: init draws first (position draw at slot 0
@@ -500,12 +542,19 @@ def fused_solve_raw(
     use_orientation: bool = False,
     swarms_per_tile: int = 1,
     gbest_mode: str = "auto",
+    const_mode: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full-solve kernel. Returns (gbest (S, D), gbest_val (S,)).
 
     ``uniforms`` (testing only): ``(S/SW, n_draws, D*R, LANES)`` — inject
     the random stream instead of the on-core PRNG, so the kernel's
     trajectory can be replayed bit-for-bit by a jnp reference.
+
+    ``const_mode``: ``"auto"`` (default) feeds the loop-invariant
+    clamp-bound tiles as a constant-index VMEM input and, when
+    ``rows == 1``, builds the per-swarm constant tiles by one-hot
+    lane-select from a VMEM swarm block; ``"scalar"`` forces the r3
+    SMEM-scalar construction (bit-identical results — A/B oracle).
     """
     if num_particles % LANES:
         raise ValueError(f"num_particles must be a multiple of {LANES}")
@@ -522,20 +571,53 @@ def fused_solve_raw(
         raise ValueError(f"swarm count {s} not divisible by swarms_per_tile={sw_count}")
     grid_n = s // sw_count
     d = spec.dof
+    k = swarm.shape[-1]
+    # Vectorized per-swarm-constant construction needs band == sublane
+    # (rows == 1) and a sublane-aligned swarm count per tile;
+    # const_mode="scalar" forces the r3 SMEM-scalar kernel (A/B
+    # oracle / fallback).
+    hoist = const_mode != "scalar"
+    vector_consts = (
+        hoist and sw_count > 1 and rows == 1 and sw_count % 8 == 0
+    )
     kernel = _build_solver_kernel(
         spec, pso, fit, num_obstacles, rows,
         debug_uniforms=uniforms is not None, use_orientation=use_orientation,
         swarms_per_tile=sw_count, gbest_mode=gbest_mode,
+        vector_consts=vector_consts, swarm_k=k, hoist_bounds=hoist,
     )
 
     n = spec.num_nodes
     rows_out = (d + 1 + LANES - 1) // LANES
     flops_pp = ((n - 1) * 140 + d * 12) * (pso.iterations + 1)
-    k = swarm.shape[-1]
+    if hoist:
+        # Clamp-bound broadcast tiles, precomputed once: (2, D*R,
+        # LANES) with DOF dd's rows at [dd*R, (dd+1)*R) — lo/hi on the
+        # leading dim so the kernel's split is an index, not a
+        # sublane-offset slice.
+        bounds = jnp.stack([
+            jnp.broadcast_to(
+                jnp.asarray(limits[b], jnp.float32).reshape(d, 1, 1),
+                (d, total_rows, LANES),
+            ).reshape(d * total_rows, LANES)
+            for b in range(2)
+        ])
+        bounds_spec = pl.BlockSpec(
+            (2, d * total_rows, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        bounds = limits
+        bounds_spec = pl.BlockSpec(
+            (2, d), lambda i: (0, 0), memory_space=pltpu.SMEM
+        )
     in_specs = [
         pl.BlockSpec((1, meta.shape[-1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, sw_count, k), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, sw_count, k), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM if vector_consts else pltpu.SMEM,
+        ),
+        bounds_spec,
         # (G, 1, 2) so the trailing block dims equal the array dims
         # (TPU block-shape divisibility rule).
         pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -543,7 +625,7 @@ def fused_solve_raw(
     args = [
         meta,
         swarm.reshape(grid_n, sw_count, k),
-        limits,
+        bounds,
         seeds[::sw_count][:, None, :],
     ]
     if uniforms is not None:

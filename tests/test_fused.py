@@ -727,3 +727,59 @@ def test_fused_rejects_oversized_tile():
             spec, num_particles=1024, swarms_per_tile=32,
             interpret=_interpret(),
         )
+
+
+def test_fused_const_mode_paths_bit_identical():
+    # The r4 hoisted-constant kernel (pso/fused.py const_mode="auto":
+    # clamp bounds as a constant-index VMEM input; per-swarm constant
+    # tiles by one-hot lane-select from a VMEM swarm block) must be
+    # BIT-identical to the r3 SMEM-scalar construction — the one-hot
+    # sum has exactly one nonzero term and the const path consumes no
+    # RNG draws, so with an injected uniform stream the two kernels
+    # trace the same arithmetic. Multi-swarm rows==1 config (sw=8,
+    # P=128) so the vectorized path is actually taken; distinct
+    # targets per swarm so the per-swarm constants actually differ.
+    from ikpso_tpu.ops.pallas_fitness import _pack_meta, _pack_swarm
+    from ikpso_tpu.pso.fused import fused_solve_raw
+
+    spec, problem = library.arm_7dof()
+    S, P, D, L = 8, 128, spec.dof, 128
+    rows = P // L
+    assert rows == 1
+    iters = 3
+    pso = PSOConfig(iterations=iters, inertia_mode="randomized")
+    fit = FitnessConfig(angle_weight=0.0, distance_weight=0.0)
+
+    jitter = jax.random.normal(
+        jax.random.key(3), (S,) + problem.targets.shape, dtype=jnp.float32
+    ) * 0.1
+    batched = library.batched_problem(problem, problem.targets[None] + jitter)
+    anchor_angles = fk_ops.pose_to_angles(spec, batched.pose)
+    anchor_positions = fk_ops.fk_points(spec, batched.pose, batched.origin)
+    meta = _pack_meta(spec, fit, None)
+    swarm = _pack_swarm(spec, batched, anchor_angles, anchor_positions)
+    limits = jnp.stack(
+        [spec.min_rotation[1:].reshape(-1), spec.max_rotation[1:].reshape(-1)]
+    )
+    seeds = jnp.zeros((S, 2), jnp.int32)
+    n_draws = 1 + 3 * iters
+    U = jax.random.uniform(
+        jax.random.key(13), (1, n_draws, D * S * rows, L), dtype=jnp.float32
+    )
+    out = {}
+    for mode in ("auto", "scalar"):
+        gb, gv = fused_solve_raw(
+            spec, pso, fit, meta, swarm, limits, seeds, P, 0,
+            interpret=_interpret(), uniforms=U, swarms_per_tile=S,
+            const_mode=mode,
+        )
+        out[mode] = (np.asarray(gb), np.asarray(gv))
+    assert (
+        out["auto"][0].view(np.int32) == out["scalar"][0].view(np.int32)
+    ).all()
+    assert (
+        out["auto"][1].view(np.int32) == out["scalar"][1].view(np.int32)
+    ).all()
+    # And the swarms genuinely differ (distinct targets -> distinct
+    # gbests), or the per-swarm-constant path proved nothing.
+    assert len({tuple(r) for r in out["auto"][0].round(4)}) > 1
