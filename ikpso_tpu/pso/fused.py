@@ -162,9 +162,18 @@ def _build_solver_kernel(
             # concatenate (~sw_count vector stores) PER CONSTANT PER
             # GRID STEP — the r4 probe-B bisection measured this
             # constant-tile materialization at ~80 ms of the S=1M
-            # batch (docs/PERFORMANCE.md "Round 4"). The one-hot sum
-            # has exactly one nonzero term, so the result is
-            # bit-identical to the scalar-fill path.
+            # batch; the r5 on-TPU A/B measured the hoist (this path +
+            # hoist_bounds) at -48.3 ms on the bare I=8 S=1M kernel
+            # with bitwise-identical outputs (bench_records/
+            # r4_bisect.jsonl r4-bisectC). The one-hot sum has exactly
+            # one nonzero term, so the result is bit-identical to the
+            # scalar-fill path — EXCEPT for a constant that is exactly
+            # -0.0, which the sum canonicalizes to +0.0 (-0.0 + 0.0 =
+            # +0.0 round-to-nearest). Every downstream use is a
+            # difference that gets squared, so VALUES never differ;
+            # only bitwise A/Bs (test_fused_const_mode_paths_bit_
+            # identical, tools/stage_probe_r4c.py) could flag inputs
+            # containing -0.0 constants (e.g. from atan2).
             swarm_tile = swarm_ref[0]  # (sw_count, k) f32
             lane_k = jax.lax.broadcasted_iota(
                 jnp.int32, (sw_count, swarm_k), 1

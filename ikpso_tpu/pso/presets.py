@@ -67,18 +67,22 @@ class FusedPreset:
     # per-DOF intermediates scale with S x DOF^2 — 30-DOF chains OOM
     # the 16 GB HBM at S=262144 (measured 22.25G), so deep chains cap
     # the batch at 65536. The 7-DOF headline fits S=1048576 (its HBM
-    # frontier: 1.5M programs need 24.3G) and measures a 1.034M/s
-    # marginal solve rate with ~44 ms fixed overhead per dispatch —
-    # 262144: 877.9k, 524288: 951.8k, 1048576: 990.9k solves/s, all
-    # @ 100.00% <1mm (bench_records/r2_sweep.jsonl session r2c-batch).
+    # frontier: 1.5M programs need 24.3G); the batch-scaling shape was
+    # measured in r2 (262144: 877.9k -> 1048576: 990.9k solves/s, all
+    # @ 100.00% <1mm, bench_records/r2_sweep.jsonl r2c-batch —
+    # HISTORICAL walls; the r3/r4 kernel is ~2.8x faster but the
+    # frontier shape holds, re-probed r3: S=1.5M fits post-row-FK yet
+    # S=1M stays optimal). Current headline: BENCH_r04.json.
     swarms: int = 262_144
 
 
 FUSED_PRESETS = {
-    # 2.04M solves/s @ 100.00% <1mm (r3: vectorized extraction + row-FK pack/error —
-    # pso/fused.py vectorized output packing): with retries in place 8 PSO
-    # iterations find the basin, 4 LM steps finish, and 4 retry rounds
-    # erase the tail; the re-kick is dead weight at this depth. Tile
+    # HEADLINE: 2,814,702 solves/s @ 100.00% <1mm — the official r4
+    # driver capture (BENCH_r04.json; 372.5 ms for the S=1M batch on
+    # the hoisted-constant kernel with 4x bucket decay). With retries
+    # in place 8 PSO iterations find the basin, 4 LM steps finish, and
+    # 4 shrinking-bucket retry rounds erase the tail; the re-kick is
+    # dead weight at this depth. Tile
     # packing: at the S=1M batch frontier 128 swarms per tile beats
     # 256 on BOTH axes — throughput (997.4k vs 990.8k,
     # bench_records/r3_sweep.jsonl r3-tile128) and cold-compile wall
