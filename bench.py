@@ -222,10 +222,13 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
 
     # Bucket scales with the batch (1/16th, min 1024): a fixed 1024
     # stops covering the ~2% pre-retry tail beyond S=49k (99.91% at
-    # S=131072 with bucket 1024; out/bench_sweep17.jsonl).
+    # S=131072 with bucket 1024; out/bench_sweep17.jsonl). Small
+    # batches cap at S/8 (r5, ADVICE r3): the 1024 floor made the
+    # S=1280 latency preset re-solve 80% of the batch per retry round;
+    # S/8 still covers the ~2% tail 6x over.
     solver = wrap_with_topk_retries(
         build, pso, rounds=retries,
-        bucket=retry_bucket or max(1024, s // 16),
+        bucket=retry_bucket or min(max(1024, s // 16), max(s // 8, 1)),
         retry_init_mode=retry_init_mode,
         retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,

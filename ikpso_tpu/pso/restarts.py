@@ -314,9 +314,18 @@ def make_topk_retry_solver(
             b = min(buckets[rnd], s)
             k2, ks = jax.random.split(k2)
             worst = jax.lax.top_k(out.effector_error, b)[1]
+            # Retry from the CURRENT best pose, not the original warm
+            # start: warm retries resume from the best basin found so
+            # far, and each walk round starts — and therefore paths —
+            # differently (round k walks from round k-1's best instead
+            # of replaying a fixed straight line; the r4 plateau
+            # mechanism, docs/PERFORMANCE.md round 4). This matches the
+            # reference's per-frame protocol, where every re-solve
+            # warm-starts AND fitness-anchors on the latest pose
+            # (Main.cpp:222-227).
             sub_problem = jax.tree.map(
                 lambda x: jnp.take(x, worst, axis=0), problem
-            )
+            ).replace(pose=jnp.take(out.pose, worst, axis=0))
             retry = retry_solver_(sub_problem, ks)
             prev_err = jnp.take(out.effector_error, worst)
             better = (retry.effector_error < prev_err) & (

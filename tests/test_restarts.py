@@ -305,3 +305,48 @@ def test_retry_bucket_decay_schedule():
     )
     res2 = seq(batched, jax.random.key(6))
     assert np.isfinite(np.asarray(res2.effector_error)).all()
+
+
+def test_topk_retry_starts_from_current_best_pose():
+    # The retry sub-problem must carry the CURRENT best pose, not the
+    # original warm start (r5: walk round k then paths from round
+    # k-1's best instead of replaying a fixed straight line, and warm
+    # retries resume from the best basin found so far).
+    from ikpso_tpu.pso.restarts import make_topk_retry_solver
+
+    from ikpso_tpu.pso.solver import SolveResult
+
+    spec, batched = _setup(s=6)
+    fit = FitnessConfig(angle_weight=0.0)
+    solver = make_solver(spec, pso=PSOConfig(iterations=12), fit=fit,
+                         num_particles=64)
+
+    def echo_solver(problem, key):
+        # Echo the incoming warm-start pose back as the result pose
+        # with error 0, so the merged output exposes what the retry
+        # round was handed (the wrapper is jitted — a host-side probe
+        # would capture tracers).
+        r = solver(problem, key)
+        return SolveResult(
+            angles=r.angles, fitness=r.fitness, pose=problem.pose,
+            effector_error=jnp.zeros_like(r.effector_error),
+            trace=r.trace,
+        )
+
+    wrapped = make_topk_retry_solver(
+        solver, bucket=3, err_threshold=0.0, rounds=1,
+        retry_solver=echo_solver,
+    )
+    res0 = solver(batched, jax.random.key(7))
+    out = wrapped(batched, jax.random.key(7))
+    worst = np.argsort(-np.asarray(res0.effector_error))[:3]
+    # The echoed rows are the base solve's RESULT poses (current best),
+    # not the original batched.pose warm start.
+    np.testing.assert_allclose(
+        np.asarray(out.pose)[worst], np.asarray(res0.pose)[worst],
+        rtol=0, atol=1e-6,
+    )
+    assert not np.allclose(
+        np.asarray(out.pose)[worst], np.asarray(batched.pose)[worst],
+        atol=1e-6,
+    )
