@@ -81,7 +81,8 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
                           collision_shape="box", fk_impl="unrolled",
                           kernel_sol=False, retry_iterations=None,
                           retry_bucket=None, chained_runs=0,
-                          retry_walk=0, walk=0, retry_bucket_decay=1):
+                          retry_walk=0, retry_walk_jitter=0.0, walk=0,
+                          retry_bucket_decay=1):
     from ikpso_tpu.models.library import batched_problem
     from ikpso_tpu.ops import fk as fk_ops
     from ikpso_tpu.ops.fitness import FitnessConfig
@@ -233,6 +234,7 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
         retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,
         spec=spec, retry_walk_steps=retry_walk,
+        retry_walk_jitter=retry_walk_jitter,
         bucket_decay=retry_bucket_decay,
     )
     # Distinct key per timed call: repeat dispatches of identical
@@ -807,6 +809,15 @@ def main() -> int:
         "resist cold retries (default: the model preset's)",
     )
     parser.add_argument(
+        "--retry-walk-jitter", type=float, default=None, metavar="J",
+        help="curved-path variation for walk retries: intermediate "
+        "waypoints get a random per-round offset scaled by J x the "
+        "start-to-target span (annealed to zero at the endpoints), so "
+        "each retry round walks a different curve instead of "
+        "replaying the straight line (default: the model preset's; "
+        "0 = straight)",
+    )
+    parser.add_argument(
         "--rekick-interval", type=int, default=None,
         help="velocity re-kick every N iterations (0 = off; default: "
         "measured per-model best); rescues prematurely-converged "
@@ -868,12 +879,14 @@ def main() -> int:
         "--sol", action="store_true",
         help="measure the speed-of-light kernel fraction (two extra "
         "compiles of the bare fused solver at I and 3I iterations — "
-        "minutes each from a cold cache, so OPT-IN; the headline JSON "
+        "minutes each from a cold cache, so opt-in there; DEFAULT-ON "
+        "for the headline model once the persistent cache is warm "
+        "(>=64 entries), disable with --no-sol; the headline JSON "
         "line prints before this runs either way)",
     )
     parser.add_argument(
-        # Deprecated no-op kept so round-2 command lines still run.
-        "--no-sol", action="store_true", help=argparse.SUPPRESS,
+        "--no-sol", action="store_true",
+        help="disable the warm-cache --sol default (see --sol)",
     )
     parser.add_argument(
         "--latency", action="store_true",
@@ -931,6 +944,18 @@ def main() -> int:
     impl = args.impl
     if impl == "auto":
         impl = "fused" if platform == "tpu" else "jnp"
+    if (not args.sol and not args.no_sol and platform == "tpu"
+            and args.model == "arm_7dof" and not args.latency
+            and cache_entries >= 64):
+        # Warm-cache default (VERDICT r4 weak #4): the official capture
+        # should carry its own speed-of-light fraction. Safe for the
+        # capture either way — the headline JSON line prints and
+        # flushes BEFORE the sol extras run — and the two extra
+        # fused-solver variants are cache hits once any --sol session
+        # has compiled them (the 64-entry gate keeps a cold cache from
+        # paying minutes of Mosaic compiles here; round-2 lesson).
+        args.sol = True
+        _progress("warm cache: --sol default-on (headline prints first)")
     if args.impl == "auto" and impl == "fused" and args.model.startswith("snake:"):
         # Deep chains: the megakernel packs the gbest result into
         # multiple 128-lane rows (no dof cap since r2); the binding
@@ -1032,6 +1057,8 @@ def main() -> int:
         args.retry_bucket = pre.retry_bucket
     if args.retry_walk is None and retries and impl == "fused":
         args.retry_walk = pre.retry_walk
+    if args.retry_walk_jitter is None and retries and impl == "fused":
+        args.retry_walk_jitter = pre.retry_walk_jitter
     if args.retry_bucket_decay is None:
         # Per-model measured default (r4): shrinking buckets cut the
         # retry share of the headline wall with no accuracy change —
@@ -1078,6 +1105,7 @@ def main() -> int:
             retry_bucket=args.retry_bucket,
             chained_runs=chained_runs,
             retry_walk=args.retry_walk or 0,
+            retry_walk_jitter=args.retry_walk_jitter or 0.0,
             walk=args.walk,
             retry_bucket_decay=args.retry_bucket_decay,
         )
@@ -1194,6 +1222,8 @@ def main() -> int:
             record["retry_bucket"] = args.retry_bucket
         if args.retry_walk:
             record["retry_walk"] = args.retry_walk
+            if args.retry_walk_jitter:
+                record["retry_walk_jitter"] = args.retry_walk_jitter
         if args.retry_bucket_decay != 1:
             record["retry_bucket_decay"] = args.retry_bucket_decay
     if polish:

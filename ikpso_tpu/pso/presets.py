@@ -47,6 +47,13 @@ class FusedPreset:
     # protocol applied to the failed bucket; for basins that resist
     # cold restarts. None/0 = ordinary retries.
     retry_walk: Optional[int] = None
+    # Curved-path variation for walk retries (pso/restarts.py
+    # wrap_solver_with_target_walk jitter): each round's intermediate
+    # waypoints get a random offset scaled by this fraction of the
+    # start-to-target span (annealed to zero at both endpoints), so
+    # round k walks a different curve than round k-1. 0 = straight
+    # (deterministic) walk paths.
+    retry_walk_jitter: float = 0.0
     # Shrink the retry bucket K-fold per round (pso/restarts.py
     # bucket_decay): rounds after the first chase a geometrically-
     # shrinking residue, so matched buckets save most of the retry

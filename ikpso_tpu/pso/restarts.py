@@ -121,7 +121,9 @@ def make_retry_solver(solver: Solver, **retry_kwargs) -> Solver:
     return _solve
 
 
-def wrap_solver_with_target_walk(solver: Solver, spec, steps: int) -> Solver:
+def wrap_solver_with_target_walk(
+    solver: Solver, spec, steps: int, jitter: float = 0.0
+) -> Solver:
     """Re-solve via a W-step warm target walk instead of one jump.
 
     The reference's own protocol for far targets is not a single-shot
@@ -142,7 +144,20 @@ def wrap_solver_with_target_walk(solver: Solver, spec, steps: int) -> Solver:
 
     Used as a RETRY solver (``wrap_with_topk_retries(...,
     retry_walk_steps=W)``): the failed bucket gets a W-step walk from
-    its current best pose instead of another cold restart.
+    its warm-start pose instead of another cold restart. (NOT from the
+    current best: walking from a failed swarm's best pose anchors the
+    warm start inside the wrong basin it is stuck in — measured r5,
+    humanoid preset 99.99% -> 99.71%; the canonical-pose walk is the
+    escape mechanism.)
+
+    ``jitter`` > 0 varies the PATH per call: each intermediate
+    waypoint gets a random offset drawn from that step's key, scaled
+    by the per-effector start-to-target distance and annealed to zero
+    at both endpoints (4f(1-f)) — so retry round k walks a different
+    CURVED path than round k-1 while still starting canonical and
+    ending exactly at the true targets. The closing axis round 4
+    named for straight-line-infeasible target sets (a straight
+    interpolation can exit the reachable set; a curve can go around).
     """
     if steps < 1:
         raise ValueError(f"target walk needs steps >= 1, got {steps}")
@@ -158,10 +173,18 @@ def wrap_solver_with_target_walk(solver: Solver, spec, steps: int) -> Solver:
             fracs = (
                 jnp.arange(1, steps, dtype=jnp.float32) / float(steps)
             )
+            span = jnp.linalg.norm(
+                problem.targets - start, axis=-1, keepdims=True
+            )
 
             def body(pose, xs):
                 f, k = xs
                 tgt = start + f * (problem.targets - start)
+                if jitter:
+                    off = jax.random.normal(
+                        jax.random.fold_in(k, 0x0FF5E7), start.shape
+                    )
+                    tgt = tgt + (jitter * 4.0 * f * (1.0 - f)) * span * off
                 r = solver(problem.replace(pose=pose, targets=tgt), k)
                 return r.pose, None
 
@@ -188,6 +211,7 @@ def wrap_with_topk_retries(
     swarms_per_tile: int = 1,
     spec=None,
     retry_walk_steps: int = 0,
+    retry_walk_jitter: float = 0.0,
     bucket_decay: int = 1,
 ) -> Solver:
     """Build a solver and wrap it in jitted top-k retries.
@@ -240,7 +264,8 @@ def wrap_with_topk_retries(
         retry_solver = build(dataclasses.replace(pso, **retry_cfg))
     if retry_walk_steps:
         retry_solver = wrap_solver_with_target_walk(
-            retry_solver or solver, spec, retry_walk_steps
+            retry_solver or solver, spec, retry_walk_steps,
+            jitter=retry_walk_jitter,
         )
     sw = max(1, swarms_per_tile)
 
@@ -257,6 +282,12 @@ def wrap_with_topk_retries(
     return make_topk_retry_solver(
         solver, err_threshold=err_threshold, rounds=rounds, bucket=buckets,
         retry_solver=retry_solver,
+        # Walk retries start from the ORIGINAL warm pose (the proven
+        # canonical-pose escape protocol; from-best anchors the walk
+        # inside the failed basin — measured r5 regression, humanoid
+        # 99.99% -> 99.71%). Plain retries resume from the current
+        # best (their failures are premature convergence).
+        retry_start="problem" if retry_walk_steps else "best",
     )
 
 
@@ -267,6 +298,7 @@ def make_topk_retry_solver(
     err_threshold: float = 1e-3,
     rounds: int = 1,
     retry_solver: Optional[Solver] = None,
+    retry_start: str = "best",
 ) -> Solver:
     """Fully-jitted retry: base solve + re-solve of the ``bucket``
     WORST swarms, merged on device — one XLA program, zero host syncs.
@@ -314,18 +346,23 @@ def make_topk_retry_solver(
             b = min(buckets[rnd], s)
             k2, ks = jax.random.split(k2)
             worst = jax.lax.top_k(out.effector_error, b)[1]
-            # Retry from the CURRENT best pose, not the original warm
-            # start: warm retries resume from the best basin found so
-            # far, and each walk round starts — and therefore paths —
-            # differently (round k walks from round k-1's best instead
-            # of replaying a fixed straight line; the r4 plateau
-            # mechanism, docs/PERFORMANCE.md round 4). This matches the
-            # reference's per-frame protocol, where every re-solve
-            # warm-starts AND fitness-anchors on the latest pose
-            # (Main.cpp:222-227).
+            # retry_start="best": retry from the CURRENT best pose —
+            # warm retries resume from the best basin found so far
+            # (their failures are premature convergence; this matches
+            # the reference's per-frame protocol, where every re-solve
+            # warm-starts AND fitness-anchors on the latest pose,
+            # Main.cpp:222-227). retry_start="problem": keep the
+            # original warm pose — REQUIRED for walk retries, whose
+            # canonical-pose straight walk is the wrong-basin escape
+            # mechanism (from-best walks measured 99.99% -> 99.71% on
+            # the humanoid preset, bench_records/r5_sweep.jsonl).
             sub_problem = jax.tree.map(
                 lambda x: jnp.take(x, worst, axis=0), problem
-            ).replace(pose=jnp.take(out.pose, worst, axis=0))
+            )
+            if retry_start == "best":
+                sub_problem = sub_problem.replace(
+                    pose=jnp.take(out.pose, worst, axis=0)
+                )
             retry = retry_solver_(sub_problem, ks)
             prev_err = jnp.take(out.effector_error, worst)
             better = (retry.effector_error < prev_err) & (

@@ -350,3 +350,57 @@ def test_topk_retry_starts_from_current_best_pose():
         np.asarray(out.pose)[worst], np.asarray(batched.pose)[worst],
         atol=1e-6,
     )
+
+
+def test_walk_retry_keeps_original_pose_and_jitter_varies_path():
+    # Walk retries must start from the ORIGINAL warm pose
+    # (retry_start="problem"): from-best walks anchor inside the
+    # failed basin (r5 humanoid regression). Jitter varies the path
+    # per key while keeping the final step exact at the true targets.
+    from ikpso_tpu.pso.restarts import (
+        make_topk_retry_solver,
+        wrap_solver_with_target_walk,
+    )
+    from ikpso_tpu.pso.solver import SolveResult
+
+    spec, batched = _setup(s=6)
+    fit = FitnessConfig(angle_weight=0.0)
+    solver = make_solver(spec, pso=PSOConfig(iterations=12), fit=fit,
+                         num_particles=64)
+
+    def echo_solver(problem, key):
+        r = solver(problem, key)
+        return SolveResult(
+            angles=r.angles, fitness=r.fitness, pose=problem.pose,
+            effector_error=jnp.zeros_like(r.effector_error),
+            trace=r.trace,
+        )
+
+    wrapped = make_topk_retry_solver(
+        solver, bucket=3, err_threshold=0.0, rounds=1,
+        retry_solver=echo_solver, retry_start="problem",
+    )
+    res0 = solver(batched, jax.random.key(7))
+    out = wrapped(batched, jax.random.key(7))
+    worst = np.argsort(-np.asarray(res0.effector_error))[:3]
+    np.testing.assert_allclose(
+        np.asarray(out.pose)[worst], np.asarray(batched.pose)[worst],
+        rtol=0, atol=1e-6,
+    )
+
+    # Jittered walk: still finite and solves (final step exact), and
+    # two keys walk different paths -> different results; same key is
+    # deterministic.
+    walk = wrap_solver_with_target_walk(solver, spec, steps=4, jitter=0.3)
+    r1 = walk(batched, jax.random.key(11))
+    r2 = walk(batched, jax.random.key(12))
+    r1b = walk(batched, jax.random.key(11))
+    assert np.isfinite(np.asarray(r1.effector_error)).all()
+    # Smoke bound only (tiny 64-particle solver; one hard swarm can
+    # land ~0.06): the curve still reaches the true targets overall.
+    assert np.median(np.asarray(r1.effector_error)) < 0.01
+    assert np.asarray(r1.effector_error).max() < 0.2
+    np.testing.assert_array_equal(
+        np.asarray(r1.angles), np.asarray(r1b.angles)
+    )
+    assert not np.array_equal(np.asarray(r1.angles), np.asarray(r2.angles))
