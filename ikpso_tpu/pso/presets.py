@@ -141,7 +141,13 @@ FUSED_PRESETS = {
     # bench_records/r4_sweep.jsonl r4-humanoid-walkretry*. The
     # retry bucket stays S/2-scale CONSTANT (decay 1): the pre-retry
     # failure rate is ~25-40%, so rounds x bucket must cover the
-    # whole failure set, not a shrinking residue.
+    # whole failure set, not a shrinking residue. r5 ladder
+    # (bench_records/r5_sweep.jsonl): 6 rounds x 4-step walks with
+    # --retry-walk-jitter 0.25 hold 99.98% at 1,412/s (curved paths
+    # close the shallow-walk plateau: 99.95% straight -> 99.98% at
+    # identical wall) — the mid-frontier between the 2,030/s @ 99.88%
+    # speed point and this preset's 99.99% @ 738.8/s; jitter HURTS
+    # the deep 8-step walks (99.92%), so the preset stays straight.
     "humanoid_45dof": FusedPreset(512, 8, 60, 0, 6, 6,
                                   retry_iterations=60,
                                   retry_bucket=8192, retry_walk=8,
