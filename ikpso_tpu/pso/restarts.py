@@ -282,12 +282,6 @@ def wrap_with_topk_retries(
     return make_topk_retry_solver(
         solver, err_threshold=err_threshold, rounds=rounds, bucket=buckets,
         retry_solver=retry_solver,
-        # Walk retries start from the ORIGINAL warm pose (the proven
-        # canonical-pose escape protocol; from-best anchors the walk
-        # inside the failed basin — measured r5 regression, humanoid
-        # 99.99% -> 99.71%). Plain retries resume from the current
-        # best (their failures are premature convergence).
-        retry_start="problem" if retry_walk_steps else "best",
     )
 
 
@@ -298,7 +292,7 @@ def make_topk_retry_solver(
     err_threshold: float = 1e-3,
     rounds: int = 1,
     retry_solver: Optional[Solver] = None,
-    retry_start: str = "best",
+    retry_start: str = "problem",
 ) -> Solver:
     """Fully-jitted retry: base solve + re-solve of the ``bucket``
     WORST swarms, merged on device — one XLA program, zero host syncs.
@@ -346,16 +340,20 @@ def make_topk_retry_solver(
             b = min(buckets[rnd], s)
             k2, ks = jax.random.split(k2)
             worst = jax.lax.top_k(out.effector_error, b)[1]
-            # retry_start="best": retry from the CURRENT best pose —
-            # warm retries resume from the best basin found so far
-            # (their failures are premature convergence; this matches
-            # the reference's per-frame protocol, where every re-solve
-            # warm-starts AND fitness-anchors on the latest pose,
-            # Main.cpp:222-227). retry_start="problem": keep the
-            # original warm pose — REQUIRED for walk retries, whose
-            # canonical-pose straight walk is the wrong-basin escape
-            # mechanism (from-best walks measured 99.99% -> 99.71% on
-            # the humanoid preset, bench_records/r5_sweep.jsonl).
+            # retry_start="problem" (default): retry from the ORIGINAL
+            # warm pose. The "retry from the current best" idea — walk
+            # round k pathing from round k-1's best, warm retries
+            # resuming from the best basin so far — was implemented and
+            # MEASURED in r5, and it regresses BOTH retry flavors: a
+            # failed swarm's best pose is a wrong-basin trap, and
+            # seeding the next attempt there re-converges into the same
+            # trap instead of escaping on a fresh stream from the
+            # canonical pose (walk retries: humanoid preset 99.99% ->
+            # 99.71%, bench_records/r5_sweep.jsonl r5-humanoid-frombest;
+            # plain warm retries: 7-DOF S=1M headline 100.00% ->
+            # 99.988%, r5_bisect.jsonl r5-bisect vs r5-bisect2). The
+            # merge only accepts improvements, so the cost is purely
+            # lost rescues. "best" stays available for A/B.
             sub_problem = jax.tree.map(
                 lambda x: jnp.take(x, worst, axis=0), problem
             )

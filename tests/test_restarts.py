@@ -308,10 +308,9 @@ def test_retry_bucket_decay_schedule():
 
 
 def test_topk_retry_starts_from_current_best_pose():
-    # The retry sub-problem must carry the CURRENT best pose, not the
-    # original warm start (r5: walk round k then paths from round
-    # k-1's best instead of replaying a fixed straight line, and warm
-    # retries resume from the best basin found so far).
+    # retry_start="best" (OPT-IN; measured-regression default is
+    # "problem" — see restarts.py) must hand the retry round the
+    # CURRENT best pose for the worst rows.
     from ikpso_tpu.pso.restarts import make_topk_retry_solver
 
     from ikpso_tpu.pso.solver import SolveResult
@@ -335,7 +334,7 @@ def test_topk_retry_starts_from_current_best_pose():
 
     wrapped = make_topk_retry_solver(
         solver, bucket=3, err_threshold=0.0, rounds=1,
-        retry_solver=echo_solver,
+        retry_solver=echo_solver, retry_start="best",
     )
     res0 = solver(batched, jax.random.key(7))
     out = wrapped(batched, jax.random.key(7))
@@ -349,6 +348,17 @@ def test_topk_retry_starts_from_current_best_pose():
     assert not np.allclose(
         np.asarray(out.pose)[worst], np.asarray(batched.pose)[worst],
         atol=1e-6,
+    )
+
+    # DEFAULT ("problem"): the retry is handed the original warm pose.
+    wrapped_def = make_topk_retry_solver(
+        solver, bucket=3, err_threshold=0.0, rounds=1,
+        retry_solver=echo_solver,
+    )
+    out_def = wrapped_def(batched, jax.random.key(7))
+    np.testing.assert_allclose(
+        np.asarray(out_def.pose)[worst], np.asarray(batched.pose)[worst],
+        rtol=0, atol=1e-6,
     )
 
 
