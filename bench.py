@@ -588,8 +588,14 @@ def run_selftest() -> dict:
         # so the Mosaic variant is reused; the polish is XLA-side.
         from ikpso_tpu.pso.polish import wrap_with_polish
 
+        # +-0.002 rad/joint: rotations COMPOUND down the 43-link chain
+        # (+-0.03 displaced the tip by 5.46 units on the first real-TPU
+        # run of this case — far outside the I=2+LM warm regime, which
+        # closed it to 0.28, not <1mm; selftest_r05.jsonl). +-0.002
+        # puts the warm start ~0.35 units out: a genuinely nonzero
+        # error the mesh-path kernel + polish must close sub-mm.
         d_angles = jax.random.uniform(
-            jax.random.key(88), (16, spec_d.dof), minval=-0.03, maxval=0.03
+            jax.random.key(88), (16, spec_d.dof), minval=-0.002, maxval=0.002
         )
         pert_pose = fk_ops.angles_to_pose(
             spec_d,
@@ -609,13 +615,14 @@ def run_selftest() -> dict:
             fit=FitnessConfig(angle_weight=0.0),
             num_particles=128, swarms_per_tile=8,
         )
-        sv = wrap_with_polish(sv, spec_d, steps=10)
+        sv = wrap_with_polish(sv, spec_d, steps=16)
         res2 = sv(batched2, jax.random.key(9))
         errs = np.asarray(res2.effector_error)
         warm_err = np.linalg.norm(
             np.asarray(pert_targets)
             - np.asarray(eff)[None], axis=-1
         ).max()
+        assert warm_err > 0.05, warm_err  # premise: genuinely nonzero
         assert errs.max() < 1e-3, (errs.max(), warm_err)
         return {
             "anchor_max_err": float(np.asarray(res.effector_error).max()),
