@@ -953,7 +953,7 @@ def main() -> int:
         impl = "fused" if platform == "tpu" else "jnp"
     if (not args.sol and not args.no_sol and platform == "tpu"
             and args.model == "arm_7dof" and not args.latency
-            and cache_entries >= 64):
+            and not args.obstacles and cache_entries >= 64):
         # Warm-cache default (VERDICT r4 weak #4): the official capture
         # should carry its own speed-of-light fraction. Safe for the
         # capture either way — the headline JSON line prints and
@@ -1070,9 +1070,17 @@ def main() -> int:
         # Per-model measured default (r4): shrinking buckets cut the
         # retry share of the headline wall with no accuracy change —
         # but ONLY low-failure-rate models opt in (presets.py); pass
-        # --retry-bucket-decay explicitly to A/B.
+        # --retry-bucket-decay explicitly to A/B. Obstacle scenes keep
+        # CONSTANT buckets regardless of the model preset: their
+        # failures are wrong-basin (blocked approaches) and do not
+        # shrink geometrically, so the headline's decay undercovers
+        # them — measured r5: the r3 box recipe (12 uniform x 24 it,
+        # S=524288) reads 98.79% under decay 4 vs its published
+        # 100.00% at constant buckets (r5_sweep.jsonl
+        # r5-obst-r3recipe-decay4 vs -decay1).
         args.retry_bucket_decay = (
-            pre.retry_bucket_decay if impl == "fused" else 1
+            pre.retry_bucket_decay
+            if impl == "fused" and not args.obstacles else 1
         )
 
     from ikpso_tpu.models import library

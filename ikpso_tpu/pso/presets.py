@@ -115,7 +115,12 @@ FUSED_PRESETS = {
     # out/bench_retryinit.jsonl). 20 uniform-init retry rounds at a
     # DEEP 80-iteration budget close the tail completely; fewer rounds
     # trade tail for speed (14 rounds: 99.99% @ 333.4k, 10 rounds:
-    # 99.94% @ 382.2k).
+    # 99.94% @ 382.2k). Walk retries measured r5 and REJECTED for this
+    # row (88.37%, r5_sweep.jsonl r5-6dof-orient-walk8x6): walks
+    # interpolate positions with orientation held fixed, so they
+    # cannot re-explore the joint basin structure. (Position-ONLY
+    # 6-DOF walks DO win: 100.00% @ 399.0k — but that is not this
+    # row's task.)
     "arm_6dof": FusedPreset(128, 128, 40, 20, 4, 20, "uniform",
                             retry_iterations=80),
     # 103.8k @ 100.00% (out/bench_sweep28.jsonl; sw/tile 2: 87.9k,
