@@ -226,10 +226,19 @@ def _target_p50_under_1mm(spec, problem, key, *, num_particles, iterations,
     # S=131072 with bucket 1024; out/bench_sweep17.jsonl). Small
     # batches cap at S/8 (r5, ADVICE r3): the 1024 floor made the
     # S=1280 latency preset re-solve 80% of the batch per retry round;
-    # S/8 still covers the ~2% tail 6x over.
+    # S/8 still covers the ~2% tail 6x over. Big batches with DECAYING
+    # buckets start at S/32 instead of S/16 (r5): the first round was
+    # covering the ~2.3% failure set 2.8x over, and halving it to a
+    # 1.35x margin saves 18 ms of the 370 ms headline wall with
+    # bitwise-identical accuracy (same 18 residual failures and p90,
+    # bench_records/r5_bisect.jsonl r5-retryAB). Constant-bucket
+    # models (obstacles, orientation, dual-arm) and sub-262144
+    # batches (latency, snakes) keep S/16 — their recipes were
+    # validated at that coverage.
+    div = 32 if retry_bucket_decay > 1 and s >= 262144 else 16
     solver = wrap_with_topk_retries(
         build, pso, rounds=retries,
-        bucket=retry_bucket or min(max(1024, s // 16), max(s // 8, 1)),
+        bucket=retry_bucket or min(max(1024, s // div), max(s // 8, 1)),
         retry_init_mode=retry_init_mode,
         retry_iterations=retry_iterations,
         swarms_per_tile=swarms_per_tile if impl == "fused" else 1,

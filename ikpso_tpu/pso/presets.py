@@ -99,8 +99,13 @@ FUSED_PRESETS = {
     # that picked 256 measured at S=262144 (sw=64: 851.5k, sw=128:
     # 811-837k, sw=256: 877.2k, r2_sweep.jsonl r2-tile); the batch
     # frontier moved the optimum back.
+    # Retry schedule (r5-retryAB, same-session ladder at S=1M): first
+    # bucket S/32 (bench default for decaying big batches) + decay 8
+    # -> [32768, 4096, 1024, 1024]; 370.7 -> 350.0 ms with bitwise-
+    # identical accuracy vs the r4 S/16+decay-4 schedule (18 residual
+    # failures either way; 3 rounds costs 48 failures for no win).
     "arm_7dof": FusedPreset(128, 128, 8, 0, 4, 4, swarms=1_048_576,
-                            retry_bucket_decay=4),
+                            retry_bucket_decay=8),
     # 1.144M @ 100.00% at the S=1M batch frontier (r2c-batch; 935.9k
     # at S=262144; sw/tile 256 reads slightly worse here, 1.120M —
     # planar keeps 128). Planar's residual tail is warm-retry-resistant
