@@ -586,6 +586,20 @@ def fused_solve_raw(
     # const_mode="scalar" forces the r3 SMEM-scalar kernel (A/B
     # oracle / fallback).
     hoist = const_mode != "scalar"
+    if const_mode == "auto" and hoist:
+        # The hoisted clamp-bound input adds a (2, D*R, LANES) VMEM
+        # block on TOP of the resident state; deep-chain tiles that
+        # fit under scalar mode can OOM scoped VMEM with it (measured
+        # r5: the 90-DOF snake preset tile = 13.3 MB state + 2.95 MB
+        # bounds -> Mosaic "17.54M > 16M" stack OOM, while 129/150-DOF
+        # at state+bounds <= 13.5 MB compile and run fine;
+        # bench_records/r5_sweep.jsonl r5-snake90). Demote to the
+        # scalar bounds rebuild when the combined estimate exceeds the
+        # same empirical ~14 MB budget make_fused_solver gates on.
+        state_est = 9 * d * total_rows * LANES * 4
+        bounds_bytes = 2 * d * total_rows * LANES * 4
+        if state_est + bounds_bytes > 14 * 2**20:
+            hoist = False
     vector_consts = (
         hoist and sw_count > 1 and rows == 1 and sw_count % 8 == 0
     )
